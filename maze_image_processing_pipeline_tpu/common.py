@@ -1,0 +1,174 @@
+"""Small host-side utilities shared across the framework.
+
+Capability parity: ``maze_ipp/common.py`` (convert_img_dtype, add_note,
+recursive_update) plus in-repo replacements for the external ``natsort`` and
+``parse`` dependencies used by the reference
+(``maze_ipp/loki/pipeline.py:17,20``).
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+from typing import Any, Dict, List, Mapping, Optional, Sequence
+
+import numpy as np
+
+__all__ = [
+    "convert_img_dtype",
+    "add_note",
+    "recursive_update",
+    "natsorted",
+    "natsort_key",
+    "FormatParser",
+]
+
+
+def convert_img_dtype(image, dtype) -> np.ndarray:
+    """Convert an image to a floating dtype, scaling unsigned ints to [0, 1].
+
+    Mirrors the conversion contract of the reference
+    (``maze_ipp/common.py:6-17``): unsigned integer images are scaled by
+    ``1 / iinfo(dtype).max``; float images are cast; anything else is an
+    error.
+    """
+    image = np.asarray(image)
+    dtype = np.dtype(dtype)
+
+    if dtype.kind == "f":
+        if image.dtype.kind == "u":
+            factor = np.array(1.0 / np.iinfo(image.dtype).max, dtype=dtype)
+            return np.multiply(image, factor)
+        if image.dtype.kind == "f":
+            return np.asarray(image, dtype)
+
+    raise ValueError(f"Can not convert {image.dtype} to {dtype}.")
+
+
+def add_note(err: BaseException, msg: str) -> None:
+    """Attach a note to an exception (py<3.11 compatible)."""
+    if sys.version_info < (3, 11):
+        err.__notes__ = getattr(err, "__notes__", []) + [msg]  # type: ignore[attr-defined]
+    else:
+        err.add_note(msg)
+
+
+def recursive_update(left: Mapping, right: Mapping) -> Dict:
+    """Nested-dict deep merge where ``right`` wins; sub-mappings merge recursively.
+
+    Serves the model-metadata merge contract of the reference
+    (``maze_ipp/common.py:27-40``, used at ``predict/pipeline.py:593-597``),
+    with the deliberate improvement that keys only present in ``left`` are
+    retained (the reference drops them).
+    """
+    if not isinstance(left, Mapping) or not isinstance(right, Mapping):
+        raise ValueError(
+            f"left and right must be Mappings, got {type(left)} / {type(right)}"
+        )
+
+    merged: Dict = dict(left)
+    for k, v in right.items():
+        if isinstance(v, Mapping) and isinstance(merged.get(k), Mapping):
+            merged[k] = recursive_update(merged[k], v)
+        else:
+            merged[k] = v
+    return merged
+
+
+_NAT_SPLIT = re.compile(r"(\d+)")
+
+
+def natsort_key(value: Any):
+    """Natural sort key: digit runs compare numerically, rest case-insensitively.
+
+    Replaces ``natsort.natsorted(..., alg=ns.PATH | ns.IGNORECASE)`` as used
+    at ``maze_ipp/loki/pipeline.py:808`` / ``predict/pipeline.py:527`` for
+    path ordering.
+    """
+    s = str(value)
+    parts = _NAT_SPLIT.split(s)
+    key: List = []
+    for i, part in enumerate(parts):
+        if i % 2:  # digit run
+            key.append((1, int(part), ""))
+        elif part:
+            key.append((0, 0, part.casefold()))
+    return tuple(key)
+
+
+def natsorted(seq: Sequence, key=None) -> List:
+    if key is None:
+        return sorted(seq, key=natsort_key)
+    return sorted(seq, key=lambda v: natsort_key(key(v)))
+
+
+class FormatParser:
+    """Parse strings against a ``str.format``-style pattern.
+
+    In-repo replacement for the external ``parse`` library used for object-ID
+    and telemetry-filename parsing (``maze_ipp/loki/pipeline.py:342-359``).
+    Supports the subset of format specs the workloads need:
+
+    * ``{name}`` — non-greedy text
+    * ``{name:d}`` — integer
+    * ``{name:04d}`` / ``{name:06d}`` — zero-padded fixed-width integer
+    * ``{:04d}`` — positional integer (returned via :attr:`Result.fixed`)
+    """
+
+    _FIELD = re.compile(r"\{([A-Za-z_][A-Za-z0-9_]*)?(?::(0?)(\d*)d)?\}")
+
+    def __init__(self, pattern: str) -> None:
+        self.format = pattern
+        regex_parts: List[str] = []
+        self._fields: List[tuple] = []  # (name_or_None, is_int)
+        pos = 0
+        n_anon = 0
+        for m in self._FIELD.finditer(pattern):
+            regex_parts.append(re.escape(pattern[pos : m.start()]))
+            name, _zero, width = m.group(1), m.group(2), m.group(3)
+            is_int = "d}" in m.group(0) or bool(width)
+            group_name = name if name else f"_anon{n_anon}"
+            if not name:
+                n_anon += 1
+            if is_int:
+                if width:
+                    body = rf"\d{{{int(width)}}}"
+                else:
+                    body = r"[-+]?\d+"
+            else:
+                body = r".+?"
+            regex_parts.append(f"(?P<{group_name}>{body})")
+            self._fields.append((name, group_name, bool(is_int)))
+            pos = m.end()
+        regex_parts.append(re.escape(pattern[pos:]))
+        self._regex = re.compile("".join(regex_parts))
+
+    class Result:
+        def __init__(self, named: Dict[str, Any], fixed: List[Any]):
+            self.named = named
+            self.fixed = fixed
+
+        def __iter__(self):
+            return iter(self.fixed + list(self.named.values()))
+
+    def _to_result(self, m: "re.Match") -> "FormatParser.Result":
+        named: Dict[str, Any] = {}
+        fixed: List[Any] = []
+        for name, group_name, is_int in self._fields:
+            raw = m.group(group_name)
+            value: Any = int(raw) if is_int else raw
+            if name:
+                named[name] = value
+            else:
+                fixed.append(value)
+        return FormatParser.Result(named, fixed)
+
+    def parse(self, text: str) -> Optional["FormatParser.Result"]:
+        """Match the *entire* string; return a Result or None."""
+        m = self._regex.fullmatch(text)
+        return self._to_result(m) if m else None
+
+    def search(self, text: str) -> Optional["FormatParser.Result"]:
+        """Find the pattern anywhere in the string; return a Result or None."""
+        m = self._regex.search(text)
+        return self._to_result(m) if m else None
