@@ -1,0 +1,263 @@
+"""EcoTaxa archive I/O: TSV with two-row header, zip archives, stream nodes.
+
+Capability parity (SURVEY.md §2b): ``pyecotaxa.archive.read_tsv`` /
+``VALID_PREFIXES`` plus the ``EcotaxaReader`` / ``EcotaxaWriter`` stream
+nodes of morphocut (``predict/pipeline.py:560-574``,
+``loki/pipeline.py:1231-1236``).
+
+EcoTaxa TSV format: tab-separated, first row column names, optional second
+row column *types* — ``[t]`` text or ``[f]`` float — required for EcoTaxa
+import.
+"""
+
+from __future__ import annotations
+
+import io
+import logging
+import os
+from typing import Dict, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+import pandas as pd
+
+from ..engine.core import Node, RawOrVariable, ReturnOutputs, Output, Stream, closing_if_closable
+from .archive import Archive, ArchivePath
+from .imageio import decode_image, encode_image
+
+logger = logging.getLogger(__name__)
+
+__all__ = [
+    "VALID_PREFIXES",
+    "read_tsv",
+    "write_tsv",
+    "EcotaxaObject",
+    "EcotaxaReader",
+    "EcotaxaWriter",
+]
+
+#: Column-name prefixes accepted by EcoTaxa imports.
+VALID_PREFIXES = frozenset({"img", "object", "process", "acq", "sample"})
+
+
+def read_tsv(path_or_file, encoding: str = "utf-8") -> pd.DataFrame:
+    """Read an EcoTaxa TSV, handling the optional ``[t]``/``[f]`` type row."""
+    if isinstance(path_or_file, (str, os.PathLike)):
+        f = open(path_or_file, "r", encoding=encoding)
+        close = True
+    elif isinstance(path_or_file, ArchivePath):
+        f = io.TextIOWrapper(path_or_file.open("rb"), encoding=encoding)
+        close = True
+    else:
+        f = path_or_file
+        close = False
+
+    try:
+        header = f.readline().rstrip("\n\r").split("\t")
+        peek = f.readline().rstrip("\n\r").split("\t")
+        has_types = all(v in ("[t]", "[f]") for v in peek) and len(peek) == len(header)
+        rows_src = f
+        if not has_types and peek != [""]:
+            # Second line is data: prepend it back.
+            rows_src = io.StringIO("\t".join(peek) + "\n" + f.read())
+        df = pd.read_csv(rows_src, sep="\t", names=header, dtype=None, header=None)
+        if has_types:
+            for col, t in zip(header, peek):
+                if t == "[f]":
+                    df[col] = pd.to_numeric(df[col], errors="coerce")
+                else:
+                    df[col] = df[col].astype(str).replace("nan", "")
+        return df
+    finally:
+        if close:
+            f.close()
+
+
+def _type_row(df: pd.DataFrame) -> List[str]:
+    return [
+        "[f]" if pd.api.types.is_numeric_dtype(dt) else "[t]" for dt in df.dtypes
+    ]
+
+
+def write_tsv(
+    df: pd.DataFrame, path_or_file, type_header: bool = True, encoding: str = "utf-8"
+) -> None:
+    """Write an EcoTaxa TSV with the two-row (names + types) header."""
+    buf = io.StringIO()
+    buf.write("\t".join(map(str, df.columns)) + "\n")
+    if type_header:
+        buf.write("\t".join(_type_row(df)) + "\n")
+    df.to_csv(buf, sep="\t", header=False, index=False)
+    data = buf.getvalue().encode(encoding)
+
+    if isinstance(path_or_file, (str, os.PathLike)):
+        with open(path_or_file, "wb") as f:
+            f.write(data)
+    elif isinstance(path_or_file, ArchivePath):
+        path_or_file.write_bytes(data)
+    else:
+        path_or_file.write(data)
+
+
+class EcotaxaObject:
+    """One archive member: image + metadata row (+ extra images)."""
+
+    __slots__ = ("image", "meta", "extra_images")
+
+    def __init__(self, image, meta: Dict, extra_images: Optional[Dict] = None):
+        self.image = image
+        self.meta = meta
+        self.extra_images = extra_images or {}
+
+
+@ReturnOutputs
+@Output("et_obj")
+class EcotaxaReader(Node):
+    """Read EcoTaxa archives: emits one object per TSV row with its image.
+
+    Args:
+        archive_fn: path (or Variable) of the archive (zip or directory).
+        index_pattern: glob for the index TSVs inside the archive.
+        image_default_mode: "L" to force grayscale, "RGB", or None (as-is).
+    """
+
+    def __init__(
+        self,
+        archive_fn: RawOrVariable[str],
+        index_pattern: str = "*ecotaxa_*",
+        image_default_mode: Optional[str] = None,
+    ) -> None:
+        self.archive_fn = archive_fn
+        self.index_pattern = index_pattern
+        self.image_default_mode = image_default_mode
+        super().__init__()
+
+    def transform_stream(self, stream: Stream) -> Stream:
+        from .ecotaxa import read_tsv  # self-import for clarity
+
+        with closing_if_closable(stream):
+            for obj in stream:
+                archive_fn = self.prepare_input(obj, "archive_fn")
+                archive = Archive(archive_fn)
+                try:
+                    index_fns = [
+                        p
+                        for p in archive.glob(self.index_pattern)
+                        if p.name.endswith(".tsv")
+                    ]
+                    if not index_fns:
+                        raise FileNotFoundError(
+                            f"No index TSV matching {self.index_pattern!r} in {archive_fn}"
+                        )
+                    for index_fn in index_fns:
+                        df = read_tsv(index_fn)
+                        n = len(df)
+                        for i, row in enumerate(df.itertuples(index=False)):
+                            meta = dict(zip(df.columns, row))
+                            image = None
+                            img_name = meta.get("img_file_name")
+                            if img_name:
+                                img_path = index_fn.parent / str(img_name)
+                                image = decode_image(
+                                    img_path.read_bytes(), mode=self.image_default_mode
+                                )
+                            new_obj = obj.copy()
+                            new_obj[self.output_vars[0]] = EcotaxaObject(image, meta)
+                            hint = obj.n_remaining_hint
+                            new_obj.n_remaining_hint = (
+                                (hint - 1) * n + (n - i) if hint is not None else None
+                            )
+                            yield new_obj
+                finally:
+                    archive.close()
+
+
+class EcotaxaWriter(Node):
+    """Write EcoTaxa archives: images + a two-row-header TSV per archive.
+
+    Args:
+        archive_fn: target archive path (may vary per object — one archive
+            per distinct value is produced, e.g. per LOKI sample).
+        fnames_images: list of (name, image) pairs (Raw or Variables);
+            pass ``[]`` for meta-only archives.
+        meta: metadata dict variable (one TSV row per object).
+        store_types: include the ``[t]``/``[f]`` type row (needed by EcoTaxa).
+        meta_fn: name of the TSV inside the archive.
+    """
+
+    def __init__(
+        self,
+        archive_fn: RawOrVariable[str],
+        fnames_images: Sequence[Tuple[RawOrVariable[str], RawOrVariable]] = (),
+        meta: RawOrVariable[Optional[Dict]] = None,
+        store_types: bool = True,
+        meta_fn: str = "ecotaxa_export.tsv",
+    ) -> None:
+        self.archive_fn = archive_fn
+        self.fnames_images = list(fnames_images)
+        self.meta = meta
+        self.store_types = store_types
+        self.meta_fn = meta_fn
+        super().__init__()
+
+    def transform_stream(self, stream: Stream) -> Stream:
+        archives: Dict[str, Archive] = {}
+        metas: Dict[str, List[Dict]] = {}
+
+        def get_archive(fn: str) -> Archive:
+            if fn not in archives:
+                os.makedirs(os.path.dirname(os.path.abspath(fn)), exist_ok=True)
+                archives[fn] = Archive(fn, mode="w")
+                metas[fn] = []
+            return archives[fn]
+
+        try:
+            with closing_if_closable(stream):
+                for obj in stream:
+                    archive_fn = str(self.prepare_input(obj, "archive_fn"))
+                    archive = get_archive(archive_fn)
+
+                    meta = self.prepare_input(obj, "meta") if self.meta is not None else {}
+                    meta = dict(meta) if meta else {}
+
+                    img_names = []
+                    for fn_var, img_var in self.fnames_images:
+                        fn = self._resolve(obj, fn_var)
+                        image = self._resolve(obj, img_var)
+                        if image is None:
+                            continue
+                        (archive / str(fn)).write_bytes(
+                            encode_image(np.asarray(image), str(fn))
+                        )
+                        img_names.append(str(fn))
+
+                    if img_names:
+                        meta.setdefault("img_file_name", img_names[0])
+                        for extra_i, extra_name in enumerate(img_names[1:], start=1):
+                            meta.setdefault(f"img_file_name_{extra_i}", extra_name)
+                    if meta:
+                        metas[archive_fn].append(meta)
+
+                    yield obj
+        finally:
+            for fn, archive in archives.items():
+                rows = metas[fn]
+                if rows:
+                    df = pd.DataFrame(rows)
+                    # EcoTaxa requires img_* / object_* / ... prefixed columns.
+                    bad = [
+                        c
+                        for c in df.columns
+                        if c.split("_", 1)[0] not in VALID_PREFIXES
+                    ]
+                    if bad:
+                        logger.warning(
+                            "Dropping non-EcoTaxa columns from %s: %s", fn, bad
+                        )
+                        df = df.drop(columns=bad)
+                    buf = io.StringIO()
+                    buf.write("\t".join(map(str, df.columns)) + "\n")
+                    if self.store_types:
+                        buf.write("\t".join(_type_row(df)) + "\n")
+                    df.to_csv(buf, sep="\t", header=False, index=False)
+                    (archive / self.meta_fn).write_bytes(buf.getvalue().encode())
+                archive.close()

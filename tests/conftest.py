@@ -15,6 +15,15 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
+# The axon TPU plugin on this host ignores JAX_PLATFORMS; force the CPU
+# backend through the config API (must run before any backend init).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+# Persistent compilation cache: repeat test runs skip XLA recompilation.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
