@@ -1,0 +1,102 @@
+"""HDF5 export stream node.
+
+Capability parity with ``morphocut.hdf5.HDF5Writer`` as used at
+``predict/pipeline.py:683-694``: per-object datasets (``dataset_mode=
+"create"``, e.g. one dataset per object_id for tiled predictions) or
+columns appended along axis 0 (``"append"``, for fixed-size feature
+vectors), with gzip compression.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..engine.core import Node, RawOrVariable, Stream, closing_if_closable
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["HDF5Writer"]
+
+
+class HDF5Writer(Node):
+    """Stream objects into HDF5 files.
+
+    Args:
+        file_fn: target file path (Raw or Variable; may vary per object).
+        items: ``[(name, value), ...]`` pairs. In ``create`` mode, ``name``
+            is typically a Variable (e.g. object_id) naming one dataset per
+            object; in ``append`` mode, names are fixed column names whose
+            values are appended along the first axis.
+        dataset_mode: ``"create"`` or ``"append"``.
+        compression: h5py compression (e.g. ``"gzip"``).
+    """
+
+    def __init__(
+        self,
+        file_fn: RawOrVariable[str],
+        items: Sequence[Tuple[RawOrVariable[str], RawOrVariable]],
+        dataset_mode: str = "create",
+        compression: Optional[str] = "gzip",
+    ) -> None:
+        if dataset_mode not in ("create", "append"):
+            raise ValueError(f"Unknown dataset_mode: {dataset_mode!r}")
+        self.file_fn = file_fn
+        self.items = list(items)
+        self.dataset_mode = dataset_mode
+        self.compression = compression
+        super().__init__()
+
+    def transform_stream(self, stream: Stream) -> Stream:
+        import h5py
+
+        files: Dict[str, "h5py.File"] = {}
+
+        def get_file(fn: str) -> "h5py.File":
+            if fn not in files:
+                os.makedirs(os.path.dirname(os.path.abspath(fn)), exist_ok=True)
+                files[fn] = h5py.File(fn, "w")
+            return files[fn]
+
+        def to_array(value):
+            arr = np.asarray(value)
+            if arr.dtype == object or arr.dtype.kind == "U":
+                arr = arr.astype("S")
+            return arr
+
+        try:
+            with closing_if_closable(stream):
+                for obj in stream:
+                    fn = str(self.prepare_input(obj, "file_fn"))
+                    h5 = get_file(fn)
+
+                    if self.dataset_mode == "create":
+                        for name_var, value_var in self.items:
+                            name = str(self._resolve(obj, name_var))
+                            value = to_array(self._resolve(obj, value_var))
+                            h5.create_dataset(
+                                name, data=value, compression=self.compression
+                            )
+                    else:  # append
+                        for name_var, value_var in self.items:
+                            name = str(self._resolve(obj, name_var))
+                            value = to_array(self._resolve(obj, value_var))
+                            row = value[None, ...]
+                            if name not in h5:
+                                h5.create_dataset(
+                                    name,
+                                    data=row,
+                                    maxshape=(None,) + value.shape,
+                                    compression=self.compression,
+                                )
+                            else:
+                                ds = h5[name]
+                                ds.resize(ds.shape[0] + 1, axis=0)
+                                ds[-1] = value
+                    yield obj
+        finally:
+            for h5 in files.values():
+                h5.close()

@@ -1,0 +1,105 @@
+"""Synthetic LOKI sample-tree fixtures for end-to-end tests.
+
+Builds the directory layout the loki workload consumes (cf. the reference's
+expectations at ``loki/pipeline.py:111-127,227-274,878-895``):
+
+    LOKI_00001.01/
+        Log/LOKI_00001.log
+        meta.yaml
+        Telemetrie/20220103 120102.tmd ...
+        Pictures/20220103 12/<object_id>.png ...
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from maze_image_processing_pipeline_tpu.dataio.imageio import encode_image
+
+OBJECT_ID_FMT = (
+    "{date} {time}  {ms:03d}  {seq:06d} {posx:04d} {posy:04d}"
+)
+
+
+def make_object_id(date="20220103", time="120102", ms=333, seq=0, posx=0, posy=0):
+    return OBJECT_ID_FMT.format(date=date, time=time, ms=ms, seq=seq, posx=posx, posy=posy)
+
+
+def draw_blob(rng, shape=(60, 80), r=12, intensity=180) -> np.ndarray:
+    """A bright elliptical blob on dark noise — a fake plankton crop."""
+    img = (rng.random(shape) * 20).astype(np.uint8)
+    yy, xx = np.mgrid[0 : shape[0], 0 : shape[1]]
+    cy, cx = shape[0] // 2, shape[1] // 2
+    blob = ((yy - cy) ** 2 / (r * r) + (xx - cx) ** 2 / (1.8 * r) ** 2) <= 1.0
+    img[blob] = intensity
+    return img
+
+
+def make_loki_sample(
+    root: str,
+    name: str = "LOKI_00001.01",
+    n_frames: int = 4,
+    objects_per_frame: int = 3,
+    frame_shape: Tuple[int, int] = (400, 500),
+    seed: int = 0,
+    station: str = "PS122-1",
+    haul: str = "7",
+    image_ext: str = ".png",
+    with_telemetry: bool = True,
+) -> str:
+    """Create a synthetic LOKI sample tree; returns the sample-root path."""
+    rng = np.random.default_rng(seed)
+    sample = os.path.join(root, name)
+    os.makedirs(os.path.join(sample, "Log"), exist_ok=True)
+    os.makedirs(os.path.join(sample, "Telemetrie"), exist_ok=True)
+
+    with open(os.path.join(sample, "Log", "LOKI_00001.log"), "w") as f:
+        f.write(
+            "DEVICE: LOKI\n"
+            "CRUISE: PS122\n"
+            f"STATION: {station}\n"
+            f"HAUL: {haul}\n"
+            "VESSEL: Polarstern\n"
+            "REGION: Arctic Ocean\n"
+            "LOCATION: Central Arctic\n"
+            "GPS_LAT: 84.95\n"
+            "GPS_LON: 134.72\n"
+            "BOTTOM_DEPTH: 4200\n"
+        )
+
+    with open(os.path.join(sample, "meta.yaml"), "w") as f:
+        f.write("sample_program: MOSAiC\n")
+
+    date = "20220103"
+    times = [f"12{m:02d}{s:02d}" for m, s in [(1, 2), (1, 32), (2, 2), (2, 32), (3, 2), (3, 32)]]
+
+    if with_telemetry:
+        for i, t in enumerate(times[:n_frames]):
+            with open(os.path.join(sample, "Telemetrie", f"{date} {t}.tmd"), "w") as f:
+                f.write(
+                    f"GPS_LON;134.{70 + i}\n"
+                    f"GPS_LAT;84.{90 + i}\n"
+                    f"PRESS;{10.5 + i}\n"
+                    f"TEMP;{-1.5 + 0.1 * i}\n"
+                    f"OXY_CON;{300 + i}\n"
+                    f"COND_SALY;{34.2}\n"
+                )
+
+    pic_dir = os.path.join(sample, "Pictures", f"{date} 12")
+    os.makedirs(pic_dir, exist_ok=True)
+
+    H, W = frame_shape
+    for fi in range(n_frames):
+        t = times[fi]
+        for oi in range(objects_per_frame):
+            posx = int(rng.integers(0, W - 90))
+            posy = int(rng.integers(0, H - 70))
+            oid = make_object_id(date=date, time=t, ms=333, seq=oi, posx=posx, posy=posy)
+            crop = draw_blob(rng, shape=(60, 80), r=8 + int(rng.integers(0, 6)))
+            with open(os.path.join(pic_dir, oid + image_ext), "wb") as f:
+                f.write(encode_image(crop, oid + image_ext))
+
+    return sample

@@ -1,0 +1,233 @@
+import io
+import os
+import zipfile
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from maze_image_processing_pipeline_tpu.dataio import (
+    Archive,
+    EcotaxaReader,
+    EcotaxaWriter,
+    HDF5Writer,
+    ImageReader,
+    LOG_FIELDS_TO_ECOTAXA,
+    Telemetry,
+    decode_image,
+    encode_image,
+    find_data_roots,
+    read_log,
+    read_tmd,
+    read_tsv,
+    write_tsv,
+)
+from maze_image_processing_pipeline_tpu.engine import Call, Pipeline, StreamObject, Unpack
+
+from fixtures import make_loki_sample
+
+
+class TestArchive:
+    def test_directory_archive(self, tmp_path):
+        (tmp_path / "sub").mkdir()
+        (tmp_path / "sub" / "a.txt").write_text("hello")
+        (tmp_path / "b.txt").write_text("world")
+
+        arch = Archive(str(tmp_path))
+        assert (arch / "sub" / "a.txt").read_text() == "hello"
+        assert (arch / "missing.txt").exists() is False
+        names = [p.name for p in arch.glob("*.txt")]
+        assert names == ["b.txt"]
+        assert [p.name for p in arch.glob("sub/*.txt")] == ["a.txt"]
+
+    def test_zip_archive_roundtrip(self, tmp_path):
+        zpath = str(tmp_path / "test.zip")
+        w = Archive(zpath, mode="w")
+        (w / "x/y.txt").write_bytes(b"abc")
+        (w / "z.txt").write_bytes(b"def")
+        w.close()
+
+        r = Archive(zpath)
+        assert (r / "x" / "y.txt").read_bytes() == b"abc"
+        assert (r / "x").is_dir()
+        assert sorted(p.name for p in r.iterdir()) == ["x", "z.txt"]
+        assert [p.rel for p in r.glob("x/*.txt")] == ["x/y.txt"]
+        r.close()
+
+
+class TestTsv:
+    def test_roundtrip_with_types(self, tmp_path):
+        df = pd.DataFrame(
+            {"object_id": ["a", "b"], "object_area": [1.5, 2.0], "object_n": [1, 2]}
+        )
+        fn = str(tmp_path / "t.tsv")
+        write_tsv(df, fn)
+
+        raw = open(fn).read().splitlines()
+        assert raw[1].split("\t") == ["[t]", "[f]", "[f]"]
+
+        back = read_tsv(fn)
+        assert list(back.columns) == list(df.columns)
+        assert back["object_area"].tolist() == [1.5, 2.0]
+        assert back["object_id"].tolist() == ["a", "b"]
+
+    def test_read_without_type_row(self, tmp_path):
+        fn = str(tmp_path / "t.tsv")
+        with open(fn, "w") as f:
+            f.write("object_id\tobject_area\no1\t3.5\no2\t4.5\n")
+        df = read_tsv(fn)
+        assert len(df) == 2
+        assert df["object_area"].tolist() == [3.5, 4.5]
+
+
+class TestImageIO:
+    @pytest.mark.parametrize("ext", [".png", ".jpg", ".bmp"])
+    def test_encode_decode(self, rng, ext):
+        img = (rng.random((32, 40)) * 255).astype(np.uint8)
+        data = encode_image(img, "x" + ext)
+        back = decode_image(data, mode="L")
+        assert back.shape == img.shape
+        if ext != ".jpg":
+            np.testing.assert_array_equal(back, img)
+
+    def test_image_reader_node(self, tmp_path, rng):
+        img = (rng.random((20, 30)) * 255).astype(np.uint8)
+        fn = str(tmp_path / "img.png")
+        open(fn, "wb").write(encode_image(img, fn))
+
+        with Pipeline() as p:
+            path = Unpack([fn])
+            image = ImageReader(path, "L")
+
+        objs = p.run()
+        np.testing.assert_array_equal(objs[0][image], img)
+
+
+class TestEcotaxaArchives:
+    def test_writer_reader_roundtrip(self, tmp_path, rng):
+        images = [(rng.random((16, 16)) * 255).astype(np.uint8) for _ in range(3)]
+        archive_fn = str(tmp_path / "out" / "archive.zip")
+
+        with Pipeline() as p:
+            idx = Unpack([0, 1, 2])
+            img = Call(lambda i: images[i], idx)
+            meta = Call(lambda i: {"object_id": f"obj{i}", "object_area": float(i)}, idx)
+            fn = Call(lambda i: f"obj{i}.png", idx)
+            EcotaxaWriter(archive_fn, [(fn, img)], meta)
+        p.run()
+
+        assert os.path.exists(archive_fn)
+        with zipfile.ZipFile(archive_fn) as zf:
+            names = set(zf.namelist())
+        assert {"obj0.png", "obj1.png", "obj2.png", "ecotaxa_export.tsv"} <= names
+
+        with Pipeline() as p2:
+            et_obj = EcotaxaReader(archive_fn)
+        objs = p2.run()
+        assert len(objs) == 3
+        o0 = objs[0][et_obj]
+        assert o0.meta["object_id"] == "obj0"
+        np.testing.assert_array_equal(o0.image.squeeze(), images[0])
+
+    def test_writer_drops_invalid_columns(self, tmp_path):
+        archive_fn = str(tmp_path / "a.zip")
+        with Pipeline() as p:
+            i = Unpack([1])
+            meta = Call(lambda x: {"object_id": "a", "bogus_col": 1}, i)
+            EcotaxaWriter(archive_fn, [], meta)
+        p.run()
+        with zipfile.ZipFile(archive_fn) as zf:
+            tsv = zf.read("ecotaxa_export.tsv").decode()
+        assert "bogus_col" not in tsv
+
+    def test_meta_only_archive(self, tmp_path):
+        archive_fn = str(tmp_path / "meta.zip")
+        with Pipeline() as p:
+            i = Unpack([0, 1])
+            meta = Call(lambda x: {"object_id": f"o{x}"}, i)
+            EcotaxaWriter(archive_fn, [], meta)
+        p.run()
+        df = read_tsv(Archive(archive_fn) / "ecotaxa_export.tsv")
+        assert df["object_id"].tolist() == ["o0", "o1"]
+
+
+class TestHDF5:
+    def test_append_mode(self, tmp_path, rng):
+        import h5py
+
+        fn = str(tmp_path / "feat.h5")
+        feats = [rng.random(8).astype(np.float32) for _ in range(4)]
+
+        with Pipeline() as p:
+            i = Unpack([0, 1, 2, 3])
+            v = Call(lambda x: feats[x], i)
+            oid = Call(lambda x: f"obj{x}", i)
+            HDF5Writer(fn, [("object_id", oid), ("predictions", v)], dataset_mode="append")
+        p.run()
+
+        with h5py.File(fn) as h5:
+            assert h5["predictions"].shape == (4, 8)
+            np.testing.assert_allclose(h5["predictions"][2], feats[2])
+            assert h5["object_id"][1].decode() == "obj1"
+
+    def test_create_mode(self, tmp_path, rng):
+        import h5py
+
+        fn = str(tmp_path / "preds.h5")
+        with Pipeline() as p:
+            i = Unpack([0, 1])
+            v = Call(lambda x: np.full((4, 4), x, np.float32), i)
+            oid = Call(lambda x: f"obj{x}", i)
+            HDF5Writer(fn, [(oid, v)], dataset_mode="create")
+        p.run()
+
+        with h5py.File(fn) as h5:
+            assert set(h5.keys()) == {"obj0", "obj1"}
+            np.testing.assert_allclose(h5["obj1"][()], 1.0)
+
+
+class TestLokiReaders:
+    def test_sample_tree(self, tmp_path):
+        sample = make_loki_sample(str(tmp_path))
+
+        roots = list(find_data_roots(str(tmp_path)))
+        assert len(roots) == 1
+        root = roots[0]
+
+        (log_fn,) = (root / "Log").glob("LOKI*.log")
+        meta = read_log(log_fn, remap_fields=LOG_FIELDS_TO_ECOTAXA)
+        assert meta["sample_station"] == "PS122-1"
+        assert meta["sample_vessel"] == "Polarstern"
+        assert meta["sample_latitude"] == 84.95
+        assert meta["acq_instrument"] == "LOKI"
+
+        tmds = (root / "Telemetrie").glob("*.tmd")
+        assert len(tmds) == 4
+        t0 = read_tmd(tmds[0])
+        assert t0["PRESS"] == 10.5
+
+        pics = (root / "Pictures").glob("*/*.*")
+        assert len(pics) == 12
+
+    def test_find_data_roots_ignore(self, tmp_path):
+        make_loki_sample(str(tmp_path), name="LOKI_A")
+        make_loki_sample(str(tmp_path), name="LOKI_B")
+        roots = list(find_data_roots(str(tmp_path), ignore_patterns=["*LOKI_B*"]))
+        assert len(roots) == 1
+
+
+class TestTelemetry:
+    def test_nearest_join(self, tmp_path):
+        sample = make_loki_sample(str(tmp_path))
+        tele = Telemetry(sample)
+        meta = {"object_date": "20220103", "object_time": "120104"}  # 2s after 1st
+        merged = tele.merge_telemetry(meta)
+        assert merged["object_pressure"] == 10.5
+        assert merged["object_lon"] == 134.70
+
+    def test_tolerance_miss(self, tmp_path):
+        sample = make_loki_sample(str(tmp_path))
+        tele = Telemetry(sample, tolerance="1s")
+        meta = {"object_date": "20220103", "object_time": "235959"}
+        merged = tele.merge_telemetry(meta)
+        assert "object_pressure" not in merged
