@@ -1,0 +1,131 @@
+"""Benchmark harness: prints ONE JSON line for the driver.
+
+Metric (round 1): LOKI re-segmentation device-chain throughput —
+threshold → disk opening/closing → 8-connected labeling → full region
+measurement (ZooProcess statistics incl. histograms) — in frames/sec/chip
+on 1024×1024 frames, versus the same chain implemented with
+scipy.ndimage on a single CPU core (the reference's execution model:
+pure-Python morphocut pipeline on host, SURVEY.md §6).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def make_frames(n: int, size: int = 1024, seed: int = 0) -> np.ndarray:
+    """Synthetic LOKI-like frames: sparse bright blobs on dark noise."""
+    rng = np.random.default_rng(seed)
+    frames = (rng.random((n, size, size)) * 18).astype(np.uint8)
+    yy, xx = np.mgrid[0:size, 0:size]
+    for i in range(n):
+        for _ in range(25):
+            cy, cx = rng.integers(30, size - 30, 2)
+            ry = rng.integers(6, 28)
+            rx = rng.integers(6, 28)
+            blob = ((yy - cy) ** 2 / ry**2 + (xx - cx) ** 2 / rx**2) <= 1.0
+            frames[i][blob] = rng.integers(120, 250)
+    return frames
+
+
+THRESHOLD = 60
+RADIUS = 3
+MIN_AREA = 50
+NUM_SEGMENTS = 64
+
+
+def bench_tpu(frames: np.ndarray, n_iter: int = 5) -> float:
+    import jax
+
+    from maze_image_processing_pipeline_tpu.ops import label as lm
+    from maze_image_processing_pipeline_tpu.ops import morphology as morph
+    from maze_image_processing_pipeline_tpu.ops.regionprops_fused import (
+        regionprops_fused,
+    )
+
+    @jax.jit
+    def chain(images):
+        mask = images > THRESHOLD
+        mask = morph.binary_opening(mask, RADIUS)
+        mask = morph.binary_closing(mask, RADIUS)
+        labels, n = lm.label(mask, connectivity=2)
+        labels, n = lm.remove_small_objects(labels, MIN_AREA, num_segments=1024)
+        props = regionprops_fused(
+            labels, images, num_segments=NUM_SEGMENTS, compute_histogram=True
+        )
+        return labels, n, props
+
+    x = jax.device_put(frames)
+    out = chain(x)
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        out = chain(x)
+        jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / n_iter
+    return frames.shape[0] / dt  # frames/sec
+
+
+def bench_cpu_single_core(frame: np.ndarray) -> float:
+    """Same chain with scipy.ndimage on one frame, single core."""
+    import scipy.ndimage as ndi
+
+    yy, xx = np.mgrid[-RADIUS : RADIUS + 1, -RADIUS : RADIUS + 1]
+    disk = (yy**2 + xx**2) <= RADIUS * RADIUS
+
+    def chain(img):
+        mask = img > THRESHOLD
+        mask = ndi.binary_erosion(mask, structure=disk, border_value=1)
+        mask = ndi.binary_dilation(mask, structure=disk, border_value=0)
+        mask = ndi.binary_dilation(mask, structure=disk, border_value=0)
+        mask = ndi.binary_erosion(mask, structure=disk, border_value=1)
+        labels, n = ndi.label(mask, structure=np.ones((3, 3)))
+        if n:
+            idx = np.arange(1, n + 1)
+            areas = ndi.sum_labels(mask, labels, index=idx)
+            keep = idx[areas >= MIN_AREA]
+            mask2 = np.isin(labels, keep)
+            labels, n = ndi.label(mask2, structure=np.ones((3, 3)))
+        if n:
+            idx = np.arange(1, n + 1)
+            ndi.sum_labels(mask, labels, index=idx)
+            ndi.center_of_mass(mask, labels, index=idx)
+            ndi.mean(img, labels, index=idx)
+            ndi.standard_deviation(img, labels, index=idx)
+            ndi.minimum(img, labels, index=idx)
+            ndi.maximum(img, labels, index=idx)
+            ndi.find_objects(labels)
+            ndi.histogram(img, 0, 256, 256, labels, index=idx)
+        return labels
+
+    chain(frame)  # warm
+    n_iter = 3
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        chain(frame)
+    dt = (time.perf_counter() - t0) / n_iter
+    return 1.0 / dt  # frames/sec
+
+
+def main() -> None:
+    frames = make_frames(8)
+    tpu_fps = bench_tpu(frames)
+    cpu_fps = bench_cpu_single_core(frames[0])
+    print(
+        json.dumps(
+            {
+                "metric": "loki_segmentation_frames_per_sec_per_chip",
+                "value": round(tpu_fps, 2),
+                "unit": "frames/s (1024x1024, threshold+morphology+CCL+props)",
+                "vs_baseline": round(tpu_fps / cpu_fps, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,271 @@
+import os
+import zipfile
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from maze_image_processing_pipeline_tpu.dataio import Archive, read_tsv
+from maze_image_processing_pipeline_tpu.engine import Call, Pipeline, Unpack
+from maze_image_processing_pipeline_tpu.loki.meta import (
+    MissingMetaError,
+    ensure_object_frame_id,
+    parse_object_id,
+    update_and_validate_sample_meta,
+)
+from maze_image_processing_pipeline_tpu.loki.pipeline import (
+    MergeAnnotations,
+    Runner,
+    calc_overlap,
+    score_fn_simple,
+)
+from maze_image_processing_pipeline_tpu.loki.zoomie import (
+    DetectDuplicates,
+    DetectDuplicatesSimple,
+)
+
+from fixtures import make_loki_sample, make_object_id
+
+
+class TestMeta:
+    def test_parse_object_id(self):
+        oid = make_object_id(seq=7, posx=123, posy=45)
+        meta = parse_object_id(oid, {"x": 1})
+        assert meta["object_id"] == oid
+        assert meta["object_sequence"] == 7
+        assert meta["object_posx"] == 123
+        assert meta["object_posy"] == 45
+        assert meta["object_frame_id"] == "20220103 120102  333"
+        assert meta["x"] == 1
+
+    def test_validate_sample_meta(self):
+        with pytest.raises(MissingMetaError):
+            update_and_validate_sample_meta("root", {"sample_station": "s"})
+
+        full = {
+            "sample_bottomdepth": 100,
+            "sample_region": "r",
+            "sample_detail_location": "l",
+            "sample_vessel": "v",
+            "sample_latitude": 1,
+            "sample_longitude": 2,
+            "sample_station": "st",
+            "sample_haul": "7",
+            "acq_instrument": "LOKI",
+        }
+        out = update_and_validate_sample_meta("root", full)
+        assert out["sample_id"] == "st_7"
+        assert out["acq_id"] == "LOKI_st_7"
+        assert "process_id" in out
+
+    def test_ensure_object_frame_id(self):
+        df = pd.DataFrame({"object_id": [make_object_id(seq=1), make_object_id(seq=2)]})
+        out = ensure_object_frame_id(df)
+        assert (out["object_frame_id"] == "20220103 120102  333").all()
+
+
+class TestOverlap:
+    def test_calc_overlap_identical(self):
+        assert calc_overlap((0, 0), (10, 10), (0, 0), (10, 10))[2] == 1.0
+
+    def test_calc_overlap_disjoint(self):
+        assert calc_overlap((0, 0), (10, 10), (20, 20), (5, 5))[2] == 0.0
+
+    def test_score_fn_simple(self):
+        m0 = dict(object_posx=0, object_posy=0, object_width=10, object_height=10)
+        m1 = dict(object_posx=5, object_posy=0, object_width=10, object_height=10)
+        iou = score_fn_simple(m0, m1)
+        assert iou == pytest.approx(50 / 150)
+
+
+class TestDedup:
+    def _run(self, objects, min_similarity=0.5, max_age=1):
+        with Pipeline() as p:
+            item = Unpack(objects)
+            frame = Call(lambda o: o["frame"], item)
+            oid = Call(lambda o: o["id"], item)
+            meta = Call(lambda o: o["meta"], item)
+            dupset = DetectDuplicatesSimple(
+                frame, oid, score_fn=score_fn_simple, score_arg=meta,
+                min_similarity=min_similarity, max_age=max_age,
+            )
+        objs = p.run()
+        return [(o[oid], o[dupset]) for o in objs]
+
+    @staticmethod
+    def obj(frame, oid, x, y, w=10, h=10):
+        return {
+            "frame": frame,
+            "id": oid,
+            "meta": dict(object_posx=x, object_posy=y, object_width=w, object_height=h),
+        }
+
+    def test_duplicate_across_frames(self):
+        objects = [
+            self.obj("f1", "a", 0, 0),
+            self.obj("f1", "b", 100, 100),
+            self.obj("f2", "c", 1, 0),   # overlaps a -> dup of a
+            self.obj("f2", "d", 200, 200),
+        ]
+        result = dict(self._run(objects))
+        assert result["a"] == "a"
+        assert result["c"] == "a"
+        assert result["d"] == "d"
+
+    def test_max_age_eviction(self):
+        # max_age counts the frames an unseen object stays matchable:
+        # with max_age=0 'a' is evicted right after f2, so 'c' is new;
+        # with max_age=1 'a' survives one missed frame and 'c' matches it.
+        objects = [
+            self.obj("f1", "a", 0, 0),
+            self.obj("f2", "b", 500, 500),
+            self.obj("f3", "c", 1, 0),
+        ]
+        result = dict(self._run(objects, max_age=0))
+        assert result["c"] == "c"
+
+        result2 = dict(self._run(objects, max_age=1))
+        assert result2["c"] == "a"
+
+    def test_orb_duplicates(self, rng):
+        # The feature-based variant: the same textured crop twice must match.
+        from fixtures import draw_blob
+
+        crop = draw_blob(rng, shape=(80, 100), r=18)
+        texture = (rng.random(crop.shape) * 120).astype(np.uint8)
+        crop = np.where(crop > 100, texture + 100, crop).astype(np.uint8)
+        shifted = np.roll(crop, 2, axis=1)
+        other = (rng.random((80, 100)) * 255).astype(np.uint8)
+
+        objects = [
+            {"frame": "f1", "id": "a", "img": crop, "meta": {}},
+            {"frame": "f2", "id": "b", "img": shifted, "meta": {}},
+            {"frame": "f3", "id": "c", "img": other, "meta": {}},
+        ]
+        with Pipeline() as p:
+            item = Unpack(objects)
+            frame = Call(lambda o: o["frame"], item)
+            oid = Call(lambda o: o["id"], item)
+            img = Call(lambda o: o["img"], item)
+            dupset = DetectDuplicates(
+                oid, img, frame, min_similarity=0.3, max_age=1
+            )
+        objs = p.run()
+        result = {o[oid]: o[dupset] for o in objs}
+        assert result["b"] == "a"
+        assert result["c"] == "c"
+
+
+class TestMergeAnnotations:
+    def test_merge(self):
+        annotations = pd.DataFrame(
+            {
+                "object_id": ["old1", "old2"],
+                "object_frame_id": ["f1", "f1"],
+                "object_posx": [0, 100],
+                "object_posy": [0, 100],
+                "object_width": [10, 10],
+                "object_height": [10, 10],
+                "object_annotation_category": ["Calanus", "Oithona"],
+                "object_annotation_status": ["validated", "predicted"],
+            }
+        )
+
+        metas = [
+            dict(object_frame_id="f1", object_posx=1, object_posy=0,
+                 object_width=10, object_height=10),   # near old1 (iou ~0.8)
+            dict(object_frame_id="f1", object_posx=50, object_posy=50,
+                 object_width=5, object_height=5),     # no match
+            dict(object_frame_id="f2", object_posx=0, object_posy=0,
+                 object_width=10, object_height=10),   # unknown frame
+        ]
+
+        with Pipeline() as p:
+            m = Unpack(metas)
+            merged = MergeAnnotations(m, annotations, min_overlap=0.5,
+                                      min_validated_overlap=0.95)
+        objs = p.run()
+
+        m0 = objs[0][merged]
+        assert m0["object_annotation_category"] == "Calanus"
+        # overlap < min_validated_overlap downgrades validated -> predicted
+        assert m0["object_annotation_status"] == "predicted"
+        assert m0["object_annotation_merge_src"] == "old1"
+
+        m1 = objs[1][merged]
+        assert m1["object_annotation_category"] == ""
+
+        m2 = objs[2][merged]
+        assert "object_annotation_merge_overlap" not in m2
+
+
+class TestLokiEndToEnd:
+    def test_threshold_pipeline(self, tmp_path):
+        make_loki_sample(str(tmp_path / "data"), n_frames=3, objects_per_frame=2)
+        target_dir = str(tmp_path / "out")
+
+        config = {
+            "input": {
+                "path": str(tmp_path / "data"),
+                "discover": True,
+                "default_meta": {},
+            },
+            "segmentation": {"threshold": 60},
+            "postprocess": {"rescale_max_intensity": True,
+                            "scalebar": {"px_per_mm": 50.0}},
+            "output": {"target_dir": target_dir, "store_mask": True},
+        }
+
+        Runner._configure_and_run(config)
+
+        archive_fn = os.path.join(target_dir, "LOKI_PS122-1_7.zip")
+        assert os.path.exists(archive_fn)
+
+        df = read_tsv(Archive(archive_fn) / "ecotaxa_export.tsv")
+        assert len(df) == 6  # 3 frames x 2 objects
+        # ZooProcess features present
+        for col in ["object_area", "object_major", "object_minor", "object_mean",
+                    "object_perim.", "object_circ."]:
+            assert col in df.columns, col
+        assert (df["object_area"] > 0).all()
+        # telemetry merged
+        assert "object_pressure" in df.columns
+        # sample metadata propagated
+        assert (df["sample_id"] == "PS122-1_7").all()
+        # process metadata recorded
+        assert "process_id" in df.columns
+        # images written (vignette + mask per object)
+        with zipfile.ZipFile(archive_fn) as zf:
+            names = zf.namelist()
+        jpgs = [n for n in names if n.endswith(".jpg")]
+        assert len(jpgs) == 12  # 6 images + 6 masks
+
+    def test_skip_existing(self, tmp_path):
+        make_loki_sample(str(tmp_path / "data"), n_frames=1, objects_per_frame=1)
+        target_dir = str(tmp_path / "out")
+        os.makedirs(target_dir)
+        archive_fn = os.path.join(target_dir, "LOKI_PS122-1_7.zip")
+        open(archive_fn, "wb").write(b"existing")
+
+        config = {
+            "input": {"path": str(tmp_path / "data")},
+            "segmentation": {"threshold": 60},
+            "postprocess": {},
+            "output": {"target_dir": target_dir, "skip_existing": True},
+        }
+        Runner._configure_and_run(config)
+        assert open(archive_fn, "rb").read() == b"existing"
+
+    def test_input_filter_and_slice(self, tmp_path):
+        make_loki_sample(str(tmp_path / "data"), n_frames=3, objects_per_frame=2)
+        target_dir = str(tmp_path / "out")
+        config = {
+            "input": {"path": str(tmp_path / "data"), "slice": 3},
+            "segmentation": {"threshold": 60,
+                             "filter_expr": "object_area > 0"},
+            "postprocess": {},
+            "output": {"target_dir": target_dir},
+        }
+        Runner._configure_and_run(config)
+        df = read_tsv(Archive(os.path.join(target_dir, "LOKI_PS122-1_7.zip")) / "ecotaxa_export.tsv")
+        assert len(df) == 3

@@ -1,0 +1,159 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from maze_image_processing_pipeline_tpu.engine import BatchedPipeline, Call, Pipeline, Unpack
+from maze_image_processing_pipeline_tpu.models import (
+    ConvClassifier,
+    JaxInference,
+    LoadedModel,
+    UNet,
+    load_model,
+    save_model,
+)
+from maze_image_processing_pipeline_tpu.models.train import (
+    bce_dice_loss,
+    bce_loss,
+    create_train_state,
+    make_train_step,
+)
+from maze_image_processing_pipeline_tpu.parallel import make_mesh, shard_batch_spec
+
+
+@pytest.fixture(scope="module")
+def tiny_unet():
+    module = UNet(out_channels=2, base_features=4, depth=2, dtype=jnp.float32)
+    params = module.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)))
+    return LoadedModel(module, params, {"outputs": {"pred": {"channel_names": ["a", "b"]}}})
+
+
+class TestUNet:
+    def test_shapes(self, tiny_unet):
+        x = jnp.zeros((2, 64, 64, 3))
+        y = tiny_unet(x)
+        assert y.shape == (2, 64, 64, 2)
+        assert y.dtype == jnp.float32
+
+    def test_bf16_variant(self):
+        module = UNet(out_channels=1, base_features=4, depth=1, dtype=jnp.bfloat16)
+        params = module.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
+        y = module.apply(params, jnp.zeros((1, 32, 32, 3)))
+        assert y.dtype == jnp.float32  # head casts back
+
+
+class TestClassifier:
+    def test_shapes(self):
+        module = ConvClassifier(n_outputs=7, features=(4, 8), dtype=jnp.float32)
+        params = module.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)))
+        y = module.apply(params, jnp.zeros((3, 64, 64, 3)))
+        assert y.shape == (3, 7)
+
+
+class TestModelIO:
+    def test_save_load_roundtrip(self, tmp_path, tiny_unet):
+        model_dir = str(tmp_path / "model")
+        save_model(
+            model_dir,
+            tiny_unet.module,
+            tiny_unet.params,
+            outputs={"pred": {"channel_names": ["a", "b"]}},
+        )
+        loaded = load_model(model_dir)
+        assert loaded.output_channel_names == ["a", "b"]
+
+        x = jnp.ones((1, 32, 32, 3))
+        np.testing.assert_allclose(
+            np.asarray(tiny_unet(x)), np.asarray(loaded(x)), atol=1e-5
+        )
+
+    def test_load_with_dtype_override(self, tmp_path, tiny_unet):
+        model_dir = str(tmp_path / "model")
+        save_model(model_dir, tiny_unet.module, tiny_unet.params)
+        loaded = load_model(model_dir, dtype="bfloat16")
+        assert loaded.module.dtype == jnp.bfloat16
+
+
+class TestJaxInference:
+    def test_single_stream(self, tiny_unet, rng):
+        images = [(rng.random((64, 64)) * 255).astype(np.uint8) for _ in range(5)]
+
+        with Pipeline() as p:
+            img = Unpack(images)
+            pred = JaxInference(tiny_unet, img, batch_size=2)
+
+        objs = p.run()
+        assert len(objs) == 5
+        out = objs[0][pred]
+        assert out.shape == (64, 64, 2)
+        assert 0.0 <= out.min() and out.max() <= 1.0  # sigmoid applied
+
+        # Batched dispatch must equal per-item dispatch.
+        with Pipeline() as p1:
+            img1 = Unpack(images)
+            pred1 = JaxInference(tiny_unet, img1, batch_size=None)
+        objs1 = p1.run()
+        for a, b in zip(objs, objs1):
+            np.testing.assert_allclose(a[pred], b[pred1], atol=2e-5)
+
+    def test_with_batched_pipeline(self, tiny_unet, rng):
+        images = [(rng.random((64, 64)) * 255).astype(np.uint8) for _ in range(5)]
+
+        with Pipeline() as p:
+            img = Unpack(images)
+            with BatchedPipeline(2):
+                pred = JaxInference(tiny_unet, img, is_batch=True)
+
+        objs = p.run()
+        assert len(objs) == 5
+        assert objs[0][pred].shape == (64, 64, 2)
+
+
+class TestTraining:
+    def test_train_step_reduces_loss(self):
+        module = UNet(out_channels=1, base_features=4, depth=1, dtype=jnp.float32)
+        state, opt = create_train_state(module, jax.random.key(0), (2, 32, 32, 3))
+        step = make_train_step(module, opt)
+
+        rng = np.random.default_rng(0)
+        x = rng.random((2, 32, 32, 3)).astype(np.float32)
+        y = (rng.random((2, 32, 32, 1)) > 0.5).astype(np.float32)
+
+        losses = []
+        for _ in range(5):
+            state, metrics = step(state, x, y)
+            losses.append(float(metrics["loss"]))
+        assert losses[-1] < losses[0]
+
+    def test_train_step_sharded_mesh(self):
+        # dp+sp+tp mesh on the 8 virtual CPU devices.
+        mesh = make_mesh({"data": 2, "space": 2, "model": 2})
+        module = UNet(out_channels=1, base_features=64, depth=1, dtype=jnp.float32)
+        state, opt = create_train_state(
+            module, jax.random.key(0), (2, 32, 32, 3), mesh=mesh
+        )
+        step = make_train_step(module, opt, mesh=mesh)
+
+        rng = np.random.default_rng(0)
+        x = rng.random((4, 32, 32, 3)).astype(np.float32)
+        y = (rng.random((4, 32, 32, 1)) > 0.5).astype(np.float32)
+        state, metrics = step(state, x, y)
+        assert np.isfinite(float(metrics["loss"]))
+
+        # Result must match the unsharded step.
+        state0, opt0 = create_train_state(module, jax.random.key(0), (2, 32, 32, 3))
+        step0 = make_train_step(module, opt0)
+        state0, metrics0 = step0(state0, x, y)
+        np.testing.assert_allclose(
+            float(metrics["loss"]), float(metrics0["loss"]), rtol=1e-4
+        )
+
+    def test_classifier_training(self):
+        module = ConvClassifier(n_outputs=4, features=(4, 8), dtype=jnp.float32)
+        state, opt = create_train_state(module, jax.random.key(1), (2, 32, 32, 3))
+        step = make_train_step(module, opt, loss_fn=bce_loss)
+        rng = np.random.default_rng(1)
+        x = rng.random((4, 32, 32, 3)).astype(np.float32)
+        y = (rng.random((4, 4)) > 0.5).astype(np.float32)
+        state, m = step(state, x, y)
+        assert np.isfinite(float(m["loss"]))
