@@ -177,8 +177,9 @@ class EcotaxaWriter(Node):
     Args:
         archive_fn: target archive path (may vary per object — one archive
             per distinct value is produced, e.g. per LOKI sample).
-        fnames_images: list of (name, image) pairs (Raw or Variables);
-            pass ``[]`` for meta-only archives.
+        fnames_images: list of (name, image) pairs (Raw or Variables), or a
+            single Variable resolving to such a list per object; pass ``[]``
+            for meta-only archives.
         meta: metadata dict variable (one TSV row per object).
         store_types: include the ``[t]``/``[f]`` type row (needed by EcoTaxa).
         meta_fn: name of the TSV inside the archive.
@@ -187,13 +188,18 @@ class EcotaxaWriter(Node):
     def __init__(
         self,
         archive_fn: RawOrVariable[str],
-        fnames_images: Sequence[Tuple[RawOrVariable[str], RawOrVariable]] = (),
+        fnames_images=(),
         meta: RawOrVariable[Optional[Dict]] = None,
         store_types: bool = True,
         meta_fn: str = "ecotaxa_export.tsv",
     ) -> None:
+        from ..engine.core import Variable
+
         self.archive_fn = archive_fn
-        self.fnames_images = list(fnames_images)
+        if isinstance(fnames_images, Variable):
+            self.fnames_images = fnames_images
+        else:
+            self.fnames_images = list(fnames_images)
         self.meta = meta
         self.store_types = store_types
         self.meta_fn = meta_fn
@@ -220,7 +226,8 @@ class EcotaxaWriter(Node):
                     meta = dict(meta) if meta else {}
 
                     img_names = []
-                    for fn_var, img_var in self.fnames_images:
+                    pairs = self._resolve(obj, self.fnames_images)
+                    for fn_var, img_var in pairs:
                         fn = self._resolve(obj, fn_var)
                         image = self._resolve(obj, img_var)
                         if image is None:

@@ -1,0 +1,172 @@
+"""Prediction pipeline configuration schema.
+
+Mirrors the YAML surface of ``maze_ipp/predict/config_schema.py`` with the
+TPU model source (a checkpoint directory instead of TorchScript).
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+from typing import Dict, List, Literal, Optional, Sequence, Tuple
+
+from pydantic import BaseModel, ConfigDict, Field
+
+from ..config import TrueToDefaultsModel
+
+
+class EcoTaxaInputConfig(BaseModel):
+    path: str = Field(
+        description="Path to an input EcoTaxa archive. May contain wildcard characters ('?', '*')."
+    )
+    ignore_patterns: List[str] = Field(
+        [], description="Ignore these archives. May contain wildcard characters ('?', '*')."
+    )
+    max_n_objects: Optional[int] = Field(
+        None,
+        description="Maximum number of objects. (For debugging.)",
+        json_schema_extra={"debug": True},
+    )
+
+
+class DataDescriptorSchema(BaseModel):
+    channel_names: Optional[Sequence[str]] = Field(
+        None, description="List of channel names"
+    )
+
+    model_config = ConfigDict(extra="allow")
+
+
+class ModelMetaSchema(BaseModel):
+    outputs: Dict[str, DataDescriptorSchema] = Field(
+        description="Ordered mapping of output names to output descriptions, "
+        'e.g. {"pred": {"channel_names": ["Prosoma", "Oilsack"]}}. '
+        "Only a single output is supported."
+    )
+
+    model_config = ConfigDict(extra="allow")
+
+
+class TilingConfig(TrueToDefaultsModel):
+    size: int = Field(1024, description="Edge length of one tile")
+    stride: int = Field(
+        896,
+        description="Stride of the tiling. `size - stride` is the overlap of two consecutive tiles.",
+    )
+
+
+class ModelConfig(BaseModel):
+    model_config = ConfigDict(protected_namespaces=())
+
+    model_fn: str = Field(
+        description="A model checkpoint directory (params.msgpack + meta.json) "
+        "saved with maze_image_processing_pipeline_tpu.models.save_model."
+    )
+
+    device: str = Field(
+        "tpu", description="Device platform to run the model on ('tpu' or 'cpu')."
+    )
+    n_threads: int = Field(
+        0, description="Threads for host-side stages. Model execution is device-batched."
+    )
+    batch_size: int = Field(0, description="Device batch size.")
+    autocast: bool = Field(
+        False, description="Accepted for task-file compatibility; dtype governs precision."
+    )
+    dtype: str = Field(
+        "bfloat16", description="Compute dtype for inference ('bfloat16' or 'float32')."
+    )
+
+    meta: Optional[ModelMetaSchema] = Field(None, description="Model metadata.")
+
+    tiling: TilingConfig | Literal[False] = Field(
+        False,
+        description="Apply the model to square tiles on each input image. "
+        "Required for semantic segmentation.",
+    )
+    input_size: int = Field(
+        1024,
+        description="Center-crop/pad input images to this square size when tiling is disabled.",
+    )
+
+
+class SegmentationConfig(TrueToDefaultsModel):
+    draw: bool = Field(False, description="Draw segments.")
+    fill_holes: bool | Tuple[str, ...] = Field(
+        False,
+        description="Fill holes in segments. Can be boolean or a list of channel names.",
+    )
+
+
+class PolyTaxoConfig(BaseModel):
+    poly_taxonomy_fn: str = Field(description="PolyTaxonomy filename (YAML).")
+    ecotaxa_taxonomy_fn: str = Field(description="EcoTaxa project taxonomy filename (CSV).")
+    compatible_predictions_only: bool = Field(
+        True,
+        description="Update validated object_annotation_category with compatible predictions. "
+        "Incompatible predictions will not be added, even if they obtain higher scores.\n"
+        "If false, the prediction only depends on the model output.",
+    )
+    skip_unchanged_objects: bool = Field(
+        True,
+        description="Save only objects with updated annotations and skip unchanged objects.",
+    )
+    filter_validated: Optional[str] = Field(
+        None,
+        description="Filter expression to apply to validated objects.\n"
+        "Objects not matching this filter are skipped.",
+    )
+    save_raw_descriptions: bool = Field(
+        False, description="Save raw description as meta-data."
+    )
+    strip_metadata: bool = Field(
+        True, description="Strip metadata unrelated to annotation."
+    )
+    threshold: float = Field(
+        0.9,
+        description="Absolute threshold to apply to prediction scores. "
+        "Any accepted prediction must obtain a higher score than `threshold`. "
+        "If a score is below 1-threshold, a negative descriptor will be added.",
+    )
+    threshold_relative: float = Field(
+        0.0,
+        description="Relative threshold: any accepted prediction must beat the "
+        "next-best prediction's score by this margin.",
+    )
+    taxonomy_augmentation_rules: Optional[Dict[str, str]] = Field(
+        None,
+        description="Augmentation rules applied to previously validated annotations "
+        "(`<query>: <update>` pairs).",
+    )
+    prediction_constraint_rules: Optional[Dict[str, str]] = Field(
+        None,
+        description="Constraint rules applied to predicted annotations "
+        "(`<query>: <update>` pairs).",
+    )
+
+
+class PredictionPipelineConfig(BaseModel):
+    model_config = ConfigDict(protected_namespaces=())
+
+    input: EcoTaxaInputConfig = Field(description="Configuration of the input.")
+    model: ModelConfig = Field(description="Configuration of the model.")
+
+    save_raw_h5: bool = Field(
+        False,
+        description="Save raw predictions into an HDF5 file, e.g. for feature extraction.",
+    )
+    segmentation: SegmentationConfig | Literal[False] = Field(
+        False,
+        description="Measure predicted segments and store into EcoTaxa archive. "
+        "(Only applies for semantic segmentation.)",
+    )
+    polytaxo: PolyTaxoConfig | Literal[False] = Field(
+        False,
+        description="Predict object properties using a PolyTaxo classifier and "
+        "store into an EcoTaxa archive.",
+    )
+
+    target_dir: str = Field(description="Directory where the output files are created.")
+
+    log_interval: str | float = Field(
+        "60s", description="The interval at which progress is logged, e.g. 10s or 1m."
+    )

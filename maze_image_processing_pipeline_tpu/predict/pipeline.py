@@ -1,0 +1,583 @@
+"""Prediction pipeline: EcoTaxa archives → model → semseg / features / polytaxo.
+
+Capability parity with ``maze_ipp/predict/pipeline.py`` (call stack SURVEY.md
+§3.2), TPU-first: tiles/crops flow through :class:`..models.JaxInference` in
+fixed-shape device batches; segment measurement and the polytaxo rule engine
+run on host behind the device stage. The three output modes (raw HDF5
+features, segment measurements, polytaxo annotations) are independent taps
+off the same predictions variable and can be enabled simultaneously.
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import glob as glob_mod
+import logging
+import os
+import sys
+import textwrap
+from functools import partial
+from typing import Any, Dict, List, Mapping, Optional, Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+import scipy.ndimage as ndi
+import yaml
+
+from ..common import natsorted, recursive_update
+from ..dataio import VALID_PREFIXES, EcotaxaReader, EcotaxaWriter, HDF5Writer
+from ..engine import (
+    BatchedPipeline,
+    Call,
+    Filter,
+    Pipeline,
+    Progress as LiveProgress,
+    Slice,
+    StreamObject,
+    TiledPipeline,
+    Unpack,
+    Variable,
+)
+from ..ops.host_props import host_region_props
+from ..polytaxo import Description, NegatedRealNode, PolyTaxonomy, PrimaryNode, TagNode
+from ..progress import LogProgress
+from ..runner import PipelineRunner
+from .config_schema import ModelMetaSchema, PredictionPipelineConfig
+
+logging.captureWarnings(True)
+logger = logging.getLogger(__name__)
+
+
+def _find_files_glob(pattern: str, ignore_patterns=None):
+    for fn in glob_mod.iglob(pattern):
+        if ignore_patterns and any(fnmatch.fnmatch(fn, p) for p in ignore_patterns):
+            logger.info("Ignoring %s.", fn)
+            continue
+        yield fn
+
+
+# ---------------------------------------------------------------------------
+# Segment measurement (semseg mode)
+
+
+def _convex_area(mask: np.ndarray) -> float:
+    """Pixel count of the filled convex hull (cv2)."""
+    import cv2
+
+    pts = cv2.findNonZero(mask.astype(np.uint8))
+    if pts is None or len(pts) < 3:
+        return float(mask.sum())
+    hull = cv2.convexHull(pts)
+    canvas = np.zeros(mask.shape, np.uint8)
+    cv2.fillPoly(canvas, [hull], 1)
+    return float(canvas.sum())
+
+
+def measure_segments(
+    meta: Dict[str, Any],
+    image: np.ndarray,
+    probabilities: np.ndarray,
+    channel_names: Sequence[str],
+    draw: bool,
+    fill_holes: Any = False,
+) -> Tuple[Mapping[str, Any], List]:
+    """Per-channel segment measurement (contract: predict/pipeline.py:59-180).
+
+    Thresholds probabilities at 0.5, optionally fills holes, keeps only the
+    largest connected component per channel, and measures
+    area / axis_major_length / area_convex (+ convex ratio). With ``draw``,
+    returns an overlay image with per-channel colors and major-axis lines.
+    """
+    meta = {
+        k: v
+        for k, v in meta.items()
+        if k.split("_", maxsplit=1)[0] in VALID_PREFIXES
+    }
+
+    predictions = (np.asarray(probabilities) > 0.5).astype(bool)
+    assert predictions.ndim == 3, predictions.shape
+    assert predictions.shape[-1] == len(channel_names), (
+        predictions.shape,
+        channel_names,
+    )
+
+    for c, channel_name in enumerate(channel_names):
+        meta[f"object_{channel_name}_raw_area"] = int(predictions[..., c].sum())
+
+    if fill_holes:
+        for c, channel_name in enumerate(channel_names):
+            if fill_holes is True or channel_name in fill_holes:
+                for slices in ndi.find_objects(predictions[..., c].astype(np.int8), 1):
+                    if slices is None:
+                        continue
+                    ndi.binary_fill_holes(
+                        predictions[..., c][slices],
+                        output=predictions[..., c][slices],
+                    )
+
+    # Keep only the largest connected component per channel.
+    channel_props: Dict[str, Optional[Dict]] = {}
+    s8 = np.ones((3, 3), bool)
+    for c, channel_name in enumerate(channel_names):
+        labels, n = ndi.label(predictions[..., c], structure=s8)
+        if n:
+            counts = np.bincount(labels.ravel())[1:]
+            best = int(np.argmax(counts)) + 1
+            largest = labels == best
+            predictions[..., c] = largest
+            props = {
+                k: v[1] for k, v in host_region_props(largest, None).items()
+            }
+            props["area_convex"] = _convex_area(largest)
+            channel_props[channel_name] = props
+        else:
+            channel_props[channel_name] = None
+
+    annotated = None
+    colors = [(255, 60, 60), (60, 255, 60), (60, 120, 255), (255, 255, 60)]
+    if draw:
+        import cv2
+
+        base = np.asarray(image)
+        if base.ndim == 2:
+            base = np.stack([base] * 3, axis=-1)
+        base = base.astype(np.float32)
+        annotated = base.copy()
+        alpha = 0.3
+        for c in range(predictions.shape[-1]):
+            color = np.array(colors[c % len(colors)], np.float32)
+            m = predictions[..., c]
+            annotated[m] = (1 - alpha) * annotated[m] + alpha * color
+
+    for c, channel_name in enumerate(channel_names):
+        props = channel_props[channel_name]
+        if props is None:
+            meta[f"object_{channel_name}_area"] = 0
+            meta[f"object_{channel_name}_axis_major_length"] = 0
+            meta[f"object_{channel_name}_area_convex"] = 0
+            meta[f"object_{channel_name}_area_convex_ratio"] = 0
+            continue
+
+        meta[f"object_{channel_name}_area"] = props["area"]
+        meta[f"object_{channel_name}_axis_major_length"] = props["axis_major_length"]
+        meta[f"object_{channel_name}_area_convex"] = props["area_convex"]
+        meta[f"object_{channel_name}_area_convex_ratio"] = (
+            props["area"] / props["area_convex"] if props["area_convex"] else 0
+        )
+
+        if annotated is not None:
+            import cv2
+
+            cy, cx = props["centroid_row"], props["centroid_col"]
+            theta = props["orientation"]
+            half = 0.5 * props["axis_major_length"]
+            # orientation measured from the row axis, CCW
+            vr, vc = np.cos(theta) * half, np.sin(theta) * half
+            p0 = (int(round(cx - vc)), int(round(cy - vr)))
+            p1 = (int(round(cx + vc)), int(round(cy + vr)))
+            cv2.line(annotated, p0, p1, colors[c % len(colors)], 1, cv2.LINE_AA)
+
+    images_out: List = []
+    if annotated is not None:
+        images_out.append(
+            (
+                str(meta.get("object_id", "object")) + "_overlay.jpg",
+                np.clip(annotated, 0, 255).astype(np.uint8),
+            )
+        )
+    return meta, images_out
+
+
+# ---------------------------------------------------------------------------
+# PolyTaxo prediction stage
+
+
+def _prepare_translation(
+    ecotaxa_taxonomy_fn: str, poly_taxonomy: PolyTaxonomy
+) -> Tuple[pd.DataFrame, pd.DataFrame]:
+    """Forward (display_name → description) and backward (description →
+    shallowest display_name) translation tables from an EcoTaxa taxonomy CSV
+    with ``display_name`` and ``lineage`` (">"-separated) columns."""
+    taxonomy = pd.read_csv(ecotaxa_taxonomy_fn, index_col=False)
+
+    def parse_lineage(lineage: str):
+        parts = str(lineage).split(">")
+        try:
+            description = poly_taxonomy.get_description(
+                parts, ignore_missing_intermediaries=True, with_alias=True
+            )
+        except (ValueError, KeyError) as exc:
+            logger.warning("Could not parse lineage '%s': %s", lineage, exc)
+            return pd.Series([None, len(parts)])
+        return pd.Series([description, len(parts)])
+
+    taxonomy[["polytaxo_description_obj", "lineage_depth"]] = taxonomy["lineage"].apply(
+        parse_lineage
+    )
+    taxonomy = taxonomy[~pd.isna(taxonomy["polytaxo_description_obj"])]
+
+    forward = taxonomy.set_index("display_name", drop=True)
+
+    backward = taxonomy.copy()
+    backward["polytaxo_description"] = backward["polytaxo_description_obj"].map(str)
+
+    # Drop rows whose description was reached through wildcard aliases —
+    # those display names are ambiguous targets.
+    def has_wildcard(description: Description) -> bool:
+        return any(
+            isinstance(d, PrimaryNode) and any("*" in a for a in d.alias)
+            for d in description.descriptors
+        )
+
+    backward = backward[~backward["polytaxo_description_obj"].map(has_wildcard)]
+    backward = backward.sort_values(["polytaxo_description", "lineage_depth"])
+    backward = backward.drop_duplicates("polytaxo_description", keep="first")
+    backward = backward.set_index("polytaxo_description", drop=True)
+
+    return forward, backward
+
+
+def build_polytaxo_pipeline(
+    config: PredictionPipelineConfig, et_obj: Variable, probabilities: Variable
+) -> Variable:
+    """Insert the polytaxo annotation stage; returns the updated meta variable."""
+    assert config.polytaxo is not False
+    ptc = config.polytaxo
+
+    meta = Call(lambda o: o.meta, et_obj)
+
+    logger.info("Predicting object properties using PolyTaxonomy %s.", ptc.poly_taxonomy_fn)
+    with open(ptc.poly_taxonomy_fn) as f:
+        poly_taxonomy_dict = yaml.safe_load(f)
+    if not isinstance(poly_taxonomy_dict, dict):
+        raise ValueError(
+            f"Unexpected content in {ptc.poly_taxonomy_fn}: {poly_taxonomy_dict}"
+        )
+
+    poly_taxonomy = PolyTaxonomy.from_dict(poly_taxonomy_dict)
+    logger.info(poly_taxonomy.format_tree())
+
+    logger.info("Using EcoTaxa taxonomy %s", ptc.ecotaxa_taxonomy_fn)
+    display_name_to_description, description_to_display_name = _prepare_translation(
+        ptc.ecotaxa_taxonomy_fn, poly_taxonomy
+    )
+
+    def parse_rules(rules):
+        if rules is None:
+            return None
+        return [
+            (poly_taxonomy.parse_expression(q), poly_taxonomy.parse_expression(u))
+            for q, u in rules.items()
+        ]
+
+    taxonomy_augmentation_rules = parse_rules(ptc.taxonomy_augmentation_rules)
+    prediction_constraint_rules = parse_rules(ptc.prediction_constraint_rules)
+    filter_validated = (
+        poly_taxonomy.parse_expression(ptc.filter_validated)
+        if ptc.filter_validated is not None
+        else None
+    )
+
+    def _update_meta(meta: Dict, probabilities) -> Optional[Dict]:
+        meta = dict(meta)
+        meta.setdefault("object_annotation_category", "")
+
+        description_prev: Optional[Description] = None
+        if (
+            ptc.compatible_predictions_only
+            and meta.get("object_annotation_status", "") == "validated"
+        ):
+            description_prev = display_name_to_description.at[
+                meta["object_annotation_category"], "polytaxo_description_obj"
+            ]
+
+            if filter_validated is not None and not filter_validated.match(
+                description_prev
+            ):
+                return None
+
+            if taxonomy_augmentation_rules is not None:
+                for query, update in taxonomy_augmentation_rules:
+                    if query.match(description_prev):
+                        description_prev = update.apply(description_prev)
+
+        description = poly_taxonomy.parse_probabilities(
+            np.asarray(probabilities),
+            baseline=description_prev,
+            thr_pos_abs=ptc.threshold,
+            thr_neg=1 - ptc.threshold,
+            thr_pos_rel=ptc.threshold_relative,
+        )
+
+        # Exclude descriptors flagged predict=False (retreat to their parent).
+        cleaned = []
+        for d in description.descriptors:
+            if isinstance(d, (TagNode, PrimaryNode)) and not d.meta.get("predict", True):
+                if d.parent is not None:
+                    cleaned.append(d.parent)
+            else:
+                cleaned.append(d)
+        description = Description(poly_taxonomy.root).update(
+            d for d in cleaned if d is not None and not (isinstance(d, PrimaryNode) and d.parent is None)
+        )
+
+        if prediction_constraint_rules is not None:
+            for query, update in prediction_constraint_rules:
+                if query.match(description):
+                    description = update.apply(description)
+
+        # Re-add the previous description in case a rule erased a
+        # previously validated annotation.
+        if description_prev is not None:
+            description.add(description_prev)
+
+        if ptc.save_raw_descriptions:
+            meta["object_polytaxo_description"] = str(description)
+
+        # Negated qualifiers are not representable on EcoTaxa.
+        description.qualifiers = [
+            q for q in description.qualifiers if not isinstance(q, NegatedRealNode)
+        ]
+
+        try:
+            display_name = description_to_display_name.at[
+                str(description), "display_name"
+            ]
+        except KeyError as exc:
+            qualifier_description = Description(poly_taxonomy.root).update(
+                description.qualifiers
+            )
+            matching_virtual = next(
+                (
+                    v
+                    for v in description.anchor.get_applicable_virtuals()
+                    if v.description == qualifier_description
+                ),
+                None,
+            )
+            if matching_virtual is not None:
+                msg = (
+                    f"Consider creating '{description.anchor.name}>"
+                    f"{matching_virtual.name}' on EcoTaxa."
+                )
+            else:
+                msg = (
+                    "Consider creating an appropriate morpho-taxon on EcoTaxa "
+                    "and adding it to the list of virtuals."
+                )
+            if meta.get("object_annotation_status", "") == "validated":
+                msg += (
+                    f"\nOriginal description was: {description_prev} "
+                    f"({meta['object_annotation_category']})"
+                )
+            logger.error(
+                "Could not find description in EcoTaxa taxonomy: %s\n%s",
+                exc,
+                textwrap.indent(msg, "  "),
+            )
+            display_name = meta["object_annotation_category"]
+
+        if meta["object_annotation_category"] == display_name:
+            if ptc.skip_unchanged_objects:
+                return None
+        else:
+            meta.update(
+                object_annotation_category=display_name,
+                object_annotation_status="predicted",
+            )
+
+        if ptc.strip_metadata:
+            keep = {
+                "object_id",
+                "object_annotation_category",
+                "object_annotation_status",
+                "object_polytaxo_description",
+            }
+            meta = {k: v for k, v in meta.items() if k in keep}
+        else:
+            meta = {
+                k: v
+                for k, v in meta.items()
+                if not k.startswith("object_annotation_")
+                or k in {"object_annotation_category", "object_annotation_status"}
+            }
+
+        return meta
+
+    meta = Call(_update_meta, meta, probabilities)
+    Filter(meta)
+    return meta
+
+
+# ---------------------------------------------------------------------------
+# Runner
+
+
+class Runner(PipelineRunner):
+    @staticmethod
+    def _configure_and_run(config_dict):
+        import pydantic
+
+        try:
+            config = PredictionPipelineConfig.model_validate(config_dict)
+        except pydantic.ValidationError as exc:
+            logger.error(str(exc))
+            return
+
+        if sys.stdout.isatty():
+            Progress = LiveProgress
+        else:
+            log_interval = config.log_interval
+            if isinstance(log_interval, str):
+                log_interval = pd.Timedelta(log_interval).total_seconds()
+            Progress = partial(LogProgress, log_interval=log_interval)
+
+        os.makedirs(config.target_dir, exist_ok=True)
+
+        from ..models import JaxInference, load_model
+
+        with Pipeline() as p:
+            process_meta_var = Variable("process_meta")
+            process_meta: Dict = {}
+
+            input_archive_fns = list(
+                _find_files_glob(config.input.path, config.input.ignore_patterns)
+            )
+            logger.info(
+                "Found %d input archives in %s", len(input_archive_fns), config.input.path
+            )
+
+            input_archive_fn = Unpack(natsorted(input_archive_fns))
+            Progress(input_archive_fn)
+
+            def out_fn(suffix):
+                return Call(
+                    lambda fn: os.path.join(
+                        config.target_dir,
+                        os.path.splitext(os.path.basename(fn))[0] + suffix,
+                    ),
+                    input_archive_fn,
+                )
+
+            predictions_fn = out_fn(".h5")
+            measurements_fn = out_fn(".segmentation.zip")
+            polytaxo_fn = out_fn(".polytaxo.zip")
+
+            et_obj = EcotaxaReader(input_archive_fn)
+            image = Call(lambda o: o.image, et_obj)
+            object_id = Call(lambda o: o.meta["object_id"], et_obj)
+
+            if config.input.max_n_objects is not None:
+                Slice(config.input.max_n_objects)
+
+            Progress(object_id)
+
+            # --- model loading + metadata contract
+            model = load_model(config.model.model_fn, dtype=config.model.dtype)
+            model_meta_dict = dict(model.meta)
+            if config.model.meta is not None:
+                model_meta_dict = recursive_update(
+                    model_meta_dict, config.model.meta.model_dump()
+                )
+            try:
+                model_meta = ModelMetaSchema.model_validate(model_meta_dict)
+            except Exception:
+                logger.error(
+                    "Could not validate combined model metadata %r", model_meta_dict
+                )
+                raise
+
+            ((output_name, output_description),) = list(model_meta.outputs.items())
+            logger.info(
+                "Output channels '%s': %s", output_name, output_description.channel_names
+            )
+
+            input_size = config.model.input_size
+
+            def pre_transform(img: np.ndarray) -> np.ndarray:
+                """Host pre-transform: center-crop/pad when not tiling."""
+                if config.model.tiling is not False:
+                    return img
+                img = np.asarray(img)
+                if img.ndim == 3 and img.shape[-1] == 1:
+                    img = img[..., 0]
+                H, W = img.shape[:2]
+                y0 = max(0, (H - input_size) // 2)
+                x0 = max(0, (W - input_size) // 2)
+                crop = img[y0 : y0 + input_size, x0 : x0 + input_size]
+                if crop.shape[:2] != (input_size, input_size):
+                    pad_y = input_size - crop.shape[0]
+                    pad_x = input_size - crop.shape[1]
+                    pad = [
+                        (pad_y // 2, pad_y - pad_y // 2),
+                        (pad_x // 2, pad_x - pad_x // 2),
+                    ] + [(0, 0)] * (crop.ndim - 2)
+                    crop = np.pad(crop, pad)
+                return crop
+
+            import contextlib
+
+            with contextlib.ExitStack() as stack:
+                if config.model.tiling is not False:
+                    stack.enter_context(
+                        TiledPipeline(
+                            (config.model.tiling.size, config.model.tiling.size),
+                            image,
+                            tile_stride=(
+                                config.model.tiling.stride,
+                                config.model.tiling.stride,
+                            ),
+                            blend_strategy="linear",
+                        )
+                    )
+
+                is_batch = bool(config.model.batch_size)
+                if is_batch:
+                    stack.enter_context(BatchedPipeline(config.model.batch_size))
+
+                predictions = JaxInference(
+                    model,
+                    image,
+                    is_batch=is_batch,
+                    batch_size=None if is_batch else 8,
+                    pre_transform=pre_transform,
+                )
+
+            if config.save_raw_h5:
+                h5_mode_create = config.model.tiling is not False
+                HDF5Writer(
+                    predictions_fn,
+                    (
+                        [(object_id, predictions)]
+                        if h5_mode_create
+                        else [("object_id", object_id), ("predictions", predictions)]
+                    ),
+                    dataset_mode="create" if h5_mode_create else "append",
+                    compression="gzip",
+                )
+
+            if config.segmentation:
+                if config.model.tiling is False:
+                    logger.warning("Segmentation is requested but tiling is not enabled.")
+                if output_description.channel_names is None:
+                    raise ValueError(f"Supply channel_names for output '{output_name}'")
+
+                meta_images = Call(
+                    measure_segments,
+                    Call(lambda o: o.meta, et_obj),
+                    image,
+                    predictions,
+                    list(output_description.channel_names),
+                    config.segmentation.draw,
+                    config.segmentation.fill_holes,
+                )
+                meta, fnames_images = meta_images.unpack(2)
+                EcotaxaWriter(measurements_fn, fnames_images, meta=meta)
+
+            if config.polytaxo is not False:
+                meta = build_polytaxo_pipeline(config, et_obj, predictions)
+                EcotaxaWriter(polytaxo_fn, [], meta=meta)
+
+        obj = StreamObject(n_remaining_hint=1)
+        obj[process_meta_var] = process_meta
+        p.run(iter([obj]))

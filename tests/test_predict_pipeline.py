@@ -1,0 +1,297 @@
+import os
+
+import h5py
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+import pytest
+
+from maze_image_processing_pipeline_tpu.dataio import (
+    Archive,
+    EcotaxaWriter,
+    read_tsv,
+)
+from maze_image_processing_pipeline_tpu.engine import Call, Pipeline, Unpack
+from maze_image_processing_pipeline_tpu.models import ConvClassifier, UNet, save_model
+from maze_image_processing_pipeline_tpu.predict.pipeline import (
+    Runner,
+    build_polytaxo_pipeline,
+    measure_segments,
+)
+from maze_image_processing_pipeline_tpu.predict.config_schema import (
+    PredictionPipelineConfig,
+)
+
+from fixtures import draw_blob
+
+TAXONOMY_YAML = """
+Copepoda:
+  _index: 0
+  Calanoida:
+    _index: 1
+  Cyclopoida:
+    _index: 2
+  _tags:
+    oil-sack: 3
+"""
+
+
+def make_input_archive(tmp_path, rng, n=4, size=64, with_annotations=False):
+    archive_fn = str(tmp_path / "input" / "crops.zip")
+    crops = [draw_blob(rng, shape=(size, size), r=10 + i) for i in range(n)]
+
+    def meta_for(i):
+        m = {"object_id": f"obj{i}", "object_area": 100.0 + i}
+        if with_annotations:
+            m["object_annotation_category"] = "Copepoda"
+            m["object_annotation_status"] = "validated" if i == 0 else "predicted"
+        return m
+
+    with Pipeline() as p:
+        i = Unpack(list(range(n)))
+        img = Call(lambda k: crops[k], i)
+        meta = Call(meta_for, i)
+        fn = Call(lambda k: f"obj{k}.png", i)
+        EcotaxaWriter(archive_fn, [(fn, img)], meta)
+    p.run()
+    return archive_fn, crops
+
+
+def make_taxonomy_files(tmp_path):
+    tax_fn = str(tmp_path / "taxonomy.yaml")
+    open(tax_fn, "w").write(TAXONOMY_YAML)
+    csv_fn = str(tmp_path / "ecotaxa_taxonomy.csv")
+    pd.DataFrame(
+        {
+            "display_name": [
+                "Copepoda",
+                "Calanoida",
+                "Cyclopoida",
+                "Calanoida with oil",
+                "Copepoda with oil",
+                "Cyclopoida with oil",
+            ],
+            "lineage": [
+                "Copepoda",
+                "Copepoda>Calanoida",
+                "Copepoda>Cyclopoida",
+                "Copepoda>Calanoida>oil-sack",
+                "Copepoda>oil-sack",
+                "Copepoda>Cyclopoida>oil-sack",
+            ],
+        }
+    ).to_csv(csv_fn, index=False)
+    return tax_fn, csv_fn
+
+
+class TestMeasureSegments:
+    def test_measures_largest_component(self, rng):
+        probs = np.zeros((64, 64, 2), np.float32)
+        probs[10:30, 10:30, 0] = 0.9  # big blob channel 0
+        probs[40:45, 40:45, 0] = 0.8  # small blob channel 0 (discarded)
+        probs[20:28, 20:28, 1] = 0.7
+        image = (rng.random((64, 64)) * 255).astype(np.uint8)
+
+        meta, images = measure_segments(
+            {"object_id": "x", "bogus": 1},
+            image,
+            probs,
+            ["prosoma", "oilsack"],
+            draw=True,
+            fill_holes=True,
+        )
+        assert meta["object_prosoma_raw_area"] == 20 * 20 + 25
+        assert meta["object_prosoma_area"] == 400  # largest component only
+        assert meta["object_oilsack_area"] == 64
+        assert meta["object_prosoma_area_convex_ratio"] == pytest.approx(1.0, abs=0.05)
+        assert "bogus" not in meta
+        assert len(images) == 1 and images[0][0] == "x_overlay.jpg"
+
+    def test_empty_channel(self):
+        probs = np.zeros((32, 32, 1), np.float32)
+        meta, images = measure_segments(
+            {"object_id": "x"}, np.zeros((32, 32), np.uint8), probs, ["c"], False
+        )
+        assert meta["object_c_area"] == 0
+        assert images == []
+
+
+class TestPolytaxoStage:
+    def _run_stage(self, tmp_path, metas, probs, **overrides):
+        tax_fn, csv_fn = make_taxonomy_files(tmp_path)
+        config = PredictionPipelineConfig.model_validate(
+            {
+                "input": {"path": "unused"},
+                "model": {"model_fn": "unused"},
+                "target_dir": str(tmp_path),
+                "polytaxo": {
+                    "poly_taxonomy_fn": tax_fn,
+                    "ecotaxa_taxonomy_fn": csv_fn,
+                    "threshold": 0.6,
+                    "skip_unchanged_objects": False,
+                    **overrides,
+                },
+            }
+        )
+
+        class FakeObj:
+            def __init__(self, meta):
+                self.meta = meta
+
+        with Pipeline() as p:
+            pair = Unpack(list(zip(metas, probs)))
+            et_obj = Call(lambda t: FakeObj(t[0]), pair)
+            pvar = Call(lambda t: t[1], pair)
+            meta_out = build_polytaxo_pipeline(config, et_obj, pvar)
+        objs = p.run()
+        return [o[meta_out] for o in objs]
+
+    def test_prediction(self, tmp_path):
+        metas = [{"object_id": "a"}]
+        probs = [np.array([0.95, 0.9, 0.05, 0.9])]  # Copepoda>Calanoida + oil-sack
+        out = self._run_stage(tmp_path, metas, probs)
+        assert out[0]["object_annotation_category"] == "Calanoida with oil"
+        assert out[0]["object_annotation_status"] == "predicted"
+
+    def test_negative_tag_dropped(self, tmp_path):
+        metas = [{"object_id": "a"}]
+        probs = [np.array([0.95, 0.9, 0.05, 0.01])]  # oil-sack strongly negative
+        out = self._run_stage(tmp_path, metas, probs)
+        assert out[0]["object_annotation_category"] == "Calanoida"
+
+    def test_validated_baseline_respected(self, tmp_path):
+        metas = [
+            {
+                "object_id": "a",
+                "object_annotation_category": "Calanoida",
+                "object_annotation_status": "validated",
+            }
+        ]
+        # Probabilities favor Cyclopoida, but validated Calanoida constrains.
+        probs = [np.array([0.95, 0.1, 0.99, 0.05])]
+        out = self._run_stage(tmp_path, metas, probs)
+        assert out[0]["object_annotation_category"] == "Calanoida"
+
+    def test_skip_unchanged(self, tmp_path):
+        metas = [
+            {
+                "object_id": "a",
+                "object_annotation_category": "Calanoida",
+                "object_annotation_status": "predicted",
+            }
+        ]
+        probs = [np.array([0.95, 0.9, 0.05, 0.01])]  # predicts Calanoida again
+        out = self._run_stage(tmp_path, metas, probs, skip_unchanged_objects=True)
+        assert out == []
+
+    def test_constraint_rule(self, tmp_path):
+        metas = [{"object_id": "a"}]
+        probs = [np.array([0.95, 0.9, 0.05, 0.9])]
+        out = self._run_stage(
+            tmp_path,
+            metas,
+            probs,
+            prediction_constraint_rules={"Calanoida": "!oil-sack"},
+        )
+        assert out[0]["object_annotation_category"] == "Calanoida"
+
+    def test_strip_metadata_modes(self, tmp_path):
+        metas = [{"object_id": "a", "object_area": 5.0, "object_annotation_person": "x"}]
+        probs = [np.array([0.95, 0.9, 0.05, 0.01])]
+        out = self._run_stage(tmp_path, metas, probs, strip_metadata=True)
+        assert set(out[0]) <= {
+            "object_id",
+            "object_annotation_category",
+            "object_annotation_status",
+            "object_polytaxo_description",
+        }
+        out2 = self._run_stage(tmp_path, metas, probs, strip_metadata=False)
+        assert "object_area" in out2[0]
+        assert "object_annotation_person" not in out2[0]
+
+
+class TestPredictEndToEnd:
+    def test_semseg_and_h5(self, tmp_path, rng):
+        archive_fn, crops = make_input_archive(tmp_path, rng, n=3, size=64)
+
+        model_dir = str(tmp_path / "unet")
+        module = UNet(out_channels=2, base_features=4, depth=1, dtype=jnp.float32)
+        params = module.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
+        save_model(
+            model_dir,
+            module,
+            params,
+            outputs={"pred": {"channel_names": ["prosoma", "oilsack"]}},
+        )
+
+        target_dir = str(tmp_path / "out")
+        config = {
+            "input": {"path": archive_fn},
+            "model": {
+                "model_fn": model_dir,
+                "dtype": "float32",
+                "batch_size": 2,
+                "tiling": {"size": 64, "stride": 48},
+            },
+            "save_raw_h5": True,
+            "segmentation": {"draw": True, "fill_holes": True},
+            "target_dir": target_dir,
+        }
+        Runner._configure_and_run(config)
+
+        h5_fn = os.path.join(target_dir, "crops.h5")
+        assert os.path.exists(h5_fn)
+        with h5py.File(h5_fn) as h5:
+            assert set(h5.keys()) == {"obj0", "obj1", "obj2"}
+            assert h5["obj0"].shape == (64, 64, 2)
+
+        seg_fn = os.path.join(target_dir, "crops.segmentation.zip")
+        df = read_tsv(Archive(seg_fn) / "ecotaxa_export.tsv")
+        assert len(df) == 3
+        for col in [
+            "object_prosoma_area",
+            "object_oilsack_area",
+            "object_prosoma_area_convex_ratio",
+        ]:
+            assert col in df.columns
+
+    def test_polytaxo_end_to_end(self, tmp_path, rng):
+        archive_fn, _ = make_input_archive(tmp_path, rng, n=3, size=64)
+        tax_fn, csv_fn = make_taxonomy_files(tmp_path)
+
+        model_dir = str(tmp_path / "clf")
+        module = ConvClassifier(n_outputs=4, features=(4, 8), dtype=jnp.float32)
+        params = module.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)))
+        save_model(model_dir, module, params, outputs={"probs": {}})
+
+        target_dir = str(tmp_path / "out")
+        config = {
+            "input": {"path": archive_fn},
+            "model": {
+                "model_fn": model_dir,
+                "dtype": "float32",
+                "batch_size": 2,
+                "input_size": 64,
+            },
+            "save_raw_h5": True,
+            "polytaxo": {
+                "poly_taxonomy_fn": tax_fn,
+                "ecotaxa_taxonomy_fn": csv_fn,
+                "threshold": 0.01,
+                "skip_unchanged_objects": False,
+                "strip_metadata": True,
+            },
+            "target_dir": target_dir,
+        }
+        Runner._configure_and_run(config)
+
+        # Feature export (append mode for non-tiled models).
+        with h5py.File(os.path.join(target_dir, "crops.h5")) as h5:
+            assert h5["predictions"].shape == (3, 4)
+            assert h5["object_id"].shape == (3,)
+
+        poly_fn = os.path.join(target_dir, "crops.polytaxo.zip")
+        df = read_tsv(Archive(poly_fn) / "ecotaxa_export.tsv")
+        assert len(df) == 3
+        assert "object_annotation_category" in df.columns
