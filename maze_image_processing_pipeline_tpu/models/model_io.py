@@ -149,7 +149,10 @@ def load_model(model_fn: str, dtype: Optional[str] = None) -> LoadedModel:
 
     arch = meta.get("architecture") or {}
     config = dict(arch.get("config", {}))
-    if dtype is not None:
+    arch_cls = _ARCHITECTURES.get(arch.get("type"))
+    if dtype is not None and arch_cls is not None and (
+        "dtype" in getattr(arch_cls, "__dataclass_fields__", {})
+    ):
         config["dtype"] = dtype
     module = build_model(arch.get("type"), config)
     meta = dict(meta)

@@ -1,0 +1,130 @@
+"""End-to-end test of the loki JAX-segmentation path on CPU.
+
+Uses an 'oracle' U-Net-shaped model whose output reproduces a brightness
+threshold (weights crafted so sigmoid(logits) ≈ [image > thr]), making the
+full stitch → tile → inference → fused postprocess → region extraction
+chain verifiable.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import flax.linen as nn
+
+from maze_image_processing_pipeline_tpu.dataio import Archive, read_tsv
+from maze_image_processing_pipeline_tpu.loki.pipeline import Runner
+from maze_image_processing_pipeline_tpu.models import save_model
+from maze_image_processing_pipeline_tpu.models.model_io import _ARCHITECTURES
+
+from fixtures import make_loki_sample
+
+
+class ThresholdNet(nn.Module):
+    """A 1x1-conv 'segmentation model': sigmoid(scale*(x - thr))."""
+
+    threshold: float = 60.0 / 255.0
+    scale: float = 500.0
+
+    @nn.compact
+    def __call__(self, x):
+        # x: (B, H, W, 3) in [0, 1]
+        w = self.param("w", lambda k: jnp.full((1, 1, 3, 1), self.scale / 3))
+        b = self.param("b", lambda k: jnp.full((1,), -self.scale * self.threshold))
+        logits = jax.lax.conv_general_dilated(
+            x.astype(jnp.float32),
+            w,
+            (1, 1),
+            "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + b
+        return logits
+
+
+# Register so model_io can rebuild it from meta.json.
+_ARCHITECTURES["threshold_net"] = ThresholdNet
+
+
+@pytest.fixture(scope="module")
+def model_dir(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("model") / "thrnet")
+    module = ThresholdNet()
+    params = module.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
+    save_model(path, module, params, outputs={"pred": {"channel_names": ["fg"]}})
+    return path
+
+
+def test_loki_jax_segmentation_end_to_end(tmp_path, model_dir):
+    make_loki_sample(
+        str(tmp_path / "data"), n_frames=3, objects_per_frame=2, frame_shape=(280, 360)
+    )
+    target_dir = str(tmp_path / "out")
+
+    config = {
+        "input": {"path": str(tmp_path / "data")},
+        "segmentation": {
+            "jax": {
+                "model_fn": model_dir,
+                "dtype": "float32",
+                "batch_size": 4,
+                "tile_size": 128,
+                "tile_stride": 96,
+                "stitch": True,
+                "postprocess": {
+                    "closing_radius": 2,
+                    "opening_radius": 1,
+                    "min_area": 20,
+                    "clear_border": False,
+                },
+                "padding": 10,
+            }
+        },
+        "postprocess": {},
+        "output": {"target_dir": target_dir, "store_mask": True},
+    }
+
+    Runner._configure_and_run(config)
+
+    archive_fn = os.path.join(target_dir, "LOKI_PS122-1_7.zip")
+    assert os.path.exists(archive_fn), os.listdir(target_dir)
+
+    df = read_tsv(Archive(archive_fn) / "ecotaxa_export.tsv")
+    # Each frame stitches its crops; each blob is re-found as one object.
+    assert len(df) >= 5
+    assert (df["object_area"] > 20).all()
+    for col in ["object_area", "object_major", "object_mean", "object_frac_invalid"]:
+        assert col in df.columns
+    # Re-derived object ids follow the LOKI format with new posx/posy.
+    assert df["object_id"].str.match(r"\d{8} \d{6}  \d+  \d{6} \d{4} \d{4}").all()
+    # Stitched-frame segmentation found blobs roughly where they were placed:
+    # areas should match an ellipse of r~8-13 within loose bounds.
+    assert df["object_area"].between(100, 4000).all()
+
+
+def test_loki_jax_without_stitch(tmp_path, model_dir):
+    make_loki_sample(str(tmp_path / "data"), n_frames=2, objects_per_frame=1)
+    target_dir = str(tmp_path / "out2")
+
+    config = {
+        "input": {"path": str(tmp_path / "data")},
+        "segmentation": {
+            "jax": {
+                "model_fn": model_dir,
+                "dtype": "float32",
+                "stitch": False,
+                "tile_size": 64,
+                "tile_stride": 48,
+                "postprocess": {"min_area": 10},
+                "padding": 5,
+            }
+        },
+        "postprocess": {},
+        "output": {"target_dir": target_dir},
+    }
+    Runner._configure_and_run(config)
+    archive_fn = os.path.join(target_dir, "LOKI_PS122-1_7.zip")
+    df = read_tsv(Archive(archive_fn) / "ecotaxa_export.tsv")
+    assert len(df) == 2
