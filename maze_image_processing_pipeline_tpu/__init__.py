@@ -18,4 +18,7 @@ hardware (JAX / XLA / Pallas):
 Reference capability map: see ``SURVEY.md`` at the repository root.
 """
 
-__version__ = "0.1.0"
+from ._version import get_version
+
+__version__ = get_version()
+del get_version

@@ -54,8 +54,20 @@ def _horizontal_pass(lab: jnp.ndarray, fg: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(fg, lab, _INF)
 
 
-def _vertical_pass(lab: jnp.ndarray, fg: jnp.ndarray, connectivity: int, reverse: bool):
-    """Row-sequential propagation through foreground, with diagonal links."""
+def _vertical_pass(
+    lab: jnp.ndarray,
+    fg: jnp.ndarray,
+    connectivity: int,
+    reverse: bool,
+    strip: int = 16,
+):
+    """Row-sequential propagation through foreground, with diagonal links.
+
+    Strip-mined: the scan steps over strips of ``strip`` rows with the
+    per-row propagation unrolled inside each step — same sequential depth,
+    ~strip× fewer scan iterations (scan-step overhead dominated the naive
+    per-row version on TPU).
+    """
     # Move row axis to the front for lax.scan.
     perm = (lab.ndim - 2,) + tuple(i for i in range(lab.ndim) if i != lab.ndim - 2)
     lab_r = jnp.transpose(lab, perm)
@@ -65,20 +77,40 @@ def _vertical_pass(lab: jnp.ndarray, fg: jnp.ndarray, connectivity: int, reverse
         fg_r = fg_r[::-1]
 
     big = _INF
+    H = lab_r.shape[0]
+    n_strips = -(-H // strip)
+    H_pad = n_strips * strip
+    if H_pad != H:
+        pad = [(0, H_pad - H)] + [(0, 0)] * (lab_r.ndim - 1)
+        lab_r = jnp.pad(lab_r, pad, constant_values=big)
+        fg_r = jnp.pad(fg_r, pad, constant_values=False)
 
-    def step(prev_row, xs):
-        cur, cur_fg = xs
+    lab_s = lab_r.reshape((n_strips, strip) + lab_r.shape[1:])
+    fg_s = fg_r.reshape((n_strips, strip) + fg_r.shape[1:])
+
+    def row_update(prev_row, cur, cur_fg):
         neigh = prev_row
         if connectivity == 2:
-            left = jnp.concatenate([jnp.full_like(prev_row[..., :1], big), prev_row[..., :-1]], axis=-1)
-            right = jnp.concatenate([prev_row[..., 1:], jnp.full_like(prev_row[..., :1], big)], axis=-1)
+            left = jnp.concatenate(
+                [jnp.full_like(prev_row[..., :1], big), prev_row[..., :-1]], axis=-1
+            )
+            right = jnp.concatenate(
+                [prev_row[..., 1:], jnp.full_like(prev_row[..., :1], big)], axis=-1
+            )
             neigh = jnp.minimum(neigh, jnp.minimum(left, right))
-        new = jnp.where(cur_fg, jnp.minimum(cur, neigh), big)
-        return new, new
+        return jnp.where(cur_fg, jnp.minimum(cur, neigh), big)
 
-    H = lab_r.shape[0]
+    def step(prev_row, xs):
+        strip_lab, strip_fg = xs
+        rows = []
+        for r in range(strip):
+            prev_row = row_update(prev_row, strip_lab[r], strip_fg[r])
+            rows.append(prev_row)
+        return prev_row, jnp.stack(rows)
+
     init = jnp.full(lab_r.shape[1:], big, dtype=lab.dtype)
-    _, out = jax.lax.scan(step, init, (lab_r, fg_r))
+    _, out = jax.lax.scan(step, init, (lab_s, fg_s))
+    out = out.reshape((H_pad,) + lab_r.shape[1:])[:H]
     if reverse:
         out = out[::-1]
 
@@ -143,18 +175,31 @@ def label(
     return compact.reshape(fg.shape), n_regions
 
 
-@functools.partial(jax.jit, static_argnames=("num_segments",))
-def region_areas(labels: jnp.ndarray, num_segments: int) -> jnp.ndarray:
-    """Pixel counts per label id (index 0 = background), batched."""
-    flat = labels.reshape(labels.shape[:-2] + (-1,))
-    one = jnp.ones(flat.shape, dtype=jnp.int32)
+@functools.partial(jax.jit, static_argnames=("num_segments", "chunk"))
+def region_areas(
+    labels: jnp.ndarray, num_segments: int, chunk: int = 32768
+) -> jnp.ndarray:
+    """Pixel counts per label id (index 0 = background), batched.
 
-    def seg(la, on):
-        return jax.ops.segment_sum(on, la, num_segments=num_segments)
+    Scatter-free: chunked one-hot comparisons summed over pixels (TPU
+    scatters cost ~100× more than the equivalent compare+reduce).
+    """
+    flat = labels.reshape((-1, labels.shape[-2] * labels.shape[-1]))
+    B, P = flat.shape
+    n_chunks = -(-P // chunk)
+    if n_chunks * chunk != P:
+        flat = jnp.pad(flat, ((0, 0), (0, n_chunks * chunk - P)))
+    flat = flat.reshape(B, n_chunks, chunk)
+    r_ids = jnp.arange(num_segments, dtype=jnp.int32)
 
-    for _ in range(flat.ndim - 1):
-        seg = jax.vmap(seg)
-    return seg(flat, one)
+    def body(acc, x):
+        onehot = x[..., None] == r_ids  # (B, chunk, R) bool
+        return acc + jnp.sum(onehot, axis=1, dtype=jnp.int32), None
+
+    acc0 = jnp.zeros((B, num_segments), jnp.int32)
+    acc, _ = jax.lax.scan(body, acc0, jnp.moveaxis(flat, 1, 0))
+    # Padding pixels were counted as label 0 (background) — harmless.
+    return acc.reshape(labels.shape[:-2] + (num_segments,))
 
 
 @functools.partial(jax.jit, static_argnames=("num_segments", "min_area"))
@@ -179,25 +224,20 @@ def clear_border(
     """Drop regions touching the image border; re-compact ids.
 
     Parity: ``skimage.segmentation.clear_border`` at
-    ``loki/pipeline.py:435-439``.
+    ``loki/pipeline.py:435-439``. Scatter-free: only the border pixels
+    (≈ 2H+2W values) are compared against the id range.
     """
-    border = jnp.zeros(labels.shape, bool)
-    border = border.at[..., 0, :].set(True)
-    border = border.at[..., -1, :].set(True)
-    border = border.at[..., :, 0].set(True)
-    border = border.at[..., :, -1].set(True)
-
-    flat = labels.reshape(labels.shape[:-2] + (-1,))
-    bflat = border.reshape(flat.shape)
-
-    def seg(la, on):
-        return jax.ops.segment_max(
-            on.astype(jnp.int32), la, num_segments=num_segments
-        )
-
-    for _ in range(flat.ndim - 1):
-        seg = jax.vmap(seg)
-    touches = seg(flat, bflat) > 0
+    border_vals = jnp.concatenate(
+        [
+            labels[..., 0, :],
+            labels[..., -1, :],
+            labels[..., :, 0],
+            labels[..., :, -1],
+        ],
+        axis=-1,
+    )
+    r_ids = jnp.arange(num_segments, dtype=jnp.int32)
+    touches = jnp.any(border_vals[..., None] == r_ids, axis=-2)
     keep = ~touches
     keep = keep.at[..., 0].set(False)
     return _relabel_keep(labels, keep), jnp.sum(keep, axis=-1).astype(jnp.int32)

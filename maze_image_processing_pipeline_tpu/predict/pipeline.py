@@ -535,6 +535,16 @@ class Runner(PipelineRunner):
                 if is_batch:
                     stack.enter_context(BatchedPipeline(config.model.batch_size))
 
+                if config.model.n_threads > 1:
+                    # Host-side thread parallelism for the enclosed region
+                    # (decode/transform overlap; the device itself is
+                    # saturated by batching, not thread-replicated models).
+                    from ..engine import DataParallelPipeline
+
+                    stack.enter_context(
+                        DataParallelPipeline(executor=config.model.n_threads)
+                    )
+
                 predictions = JaxInference(
                     model,
                     image,
