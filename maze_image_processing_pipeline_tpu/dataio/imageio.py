@@ -27,10 +27,26 @@ __all__ = ["decode_image", "encode_image", "ImageReader"]
 def decode_image(data: bytes, mode: Optional[str] = None) -> np.ndarray:
     """Decode an encoded image buffer to a numpy array.
 
+    OpenCV decodes when available; BMP buffers (LOKI's native crop format)
+    fall back to the in-repo native codec (:mod:`..native`) otherwise —
+    measured: cv2 wins at vignette sizes (ctypes call overhead), so it
+    stays primary.
+
     Args:
         data: encoded bytes (PNG/JPEG/BMP/...).
         mode: "L" grayscale, "RGB", or None (native channels).
     """
+    if not _HAS_CV2 and data[:2] == b"BM":
+        from .. import native
+
+        img = native.bmp_decode(data)
+        if img is not None:
+            if mode == "L" and img.ndim == 3:
+                img = img.mean(axis=-1).astype(np.uint8)
+            elif mode == "RGB" and img.ndim == 2:
+                img = np.stack([img] * 3, axis=-1)
+            return img
+
     if _HAS_CV2:
         buf = np.frombuffer(data, np.uint8)
         if mode == "L":
@@ -66,6 +82,13 @@ def encode_image(image: np.ndarray, filename: str, quality: int = 90) -> bytes:
         image = image.astype(np.uint8) * 255
     elif image.dtype != np.uint8:
         image = np.clip(image, 0, 255).astype(np.uint8)
+
+    if not _HAS_CV2 and ext == ".bmp" and image.ndim == 2:
+        from .. import native
+
+        data = native.bmp8_encode(image)
+        if data is not None:
+            return data
 
     if _HAS_CV2:
         bgr = image

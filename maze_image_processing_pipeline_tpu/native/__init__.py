@@ -1,0 +1,116 @@
+"""Native (C++) host runtime helpers, loaded via ctypes.
+
+The TPU compute path is JAX/XLA; this package accelerates the host data
+plane. The library compiles lazily on first import (g++; ~1 s) and is
+cached next to the source. Consumers treat it as optional: every user has
+a pure-Python/cv2 fallback.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+from typing import Optional, Tuple
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "mazecore.cpp")
+_SO = os.path.join(_HERE, "_mazecore.so")
+
+_lib: Optional[ctypes.CDLL] = None
+_load_failed = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", _SO],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return True
+    except (OSError, subprocess.SubprocessError) as exc:
+        logger.info("mazecore native build unavailable: %s", exc)
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """Load (building if needed) the native library; None if unavailable."""
+    global _lib, _load_failed
+    if _lib is not None or _load_failed:
+        return _lib
+    if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+        if not _build():
+            _load_failed = True
+            return None
+    try:
+        lib = ctypes.CDLL(_SO)
+        lib.bmp_probe.restype = ctypes.c_int
+        lib.bmp_probe.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.bmp_decode.restype = ctypes.c_int
+        lib.bmp_decode.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_size_t,
+            ctypes.c_void_p,
+        ]
+        lib.bmp8_encoded_size.restype = ctypes.c_size_t
+        lib.bmp8_encoded_size.argtypes = [ctypes.c_int, ctypes.c_int]
+        lib.bmp8_encode.restype = ctypes.c_size_t
+        lib.bmp8_encode.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_void_p,
+        ]
+        _lib = lib
+    except OSError as exc:  # pragma: no cover
+        logger.info("mazecore native load failed: %s", exc)
+        _load_failed = True
+    return _lib
+
+
+def bmp_decode(data: bytes) -> Optional[np.ndarray]:
+    """Decode a BI_RGB BMP buffer; None when unsupported (caller falls back)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    c = ctypes.c_int()
+    if lib.bmp_probe(data, len(data), ctypes.byref(h), ctypes.byref(w), ctypes.byref(c)):
+        return None
+    shape: Tuple[int, ...] = (
+        (h.value, w.value) if c.value == 1 else (h.value, w.value, c.value)
+    )
+    out = np.empty(shape, np.uint8)
+    if lib.bmp_decode(data, len(data), out.ctypes.data_as(ctypes.c_void_p)):
+        return None
+    return out
+
+
+def bmp8_encode(image: np.ndarray) -> Optional[bytes]:
+    """Encode an 8-bit grayscale image as BMP; None if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    image = np.ascontiguousarray(image, np.uint8)
+    if image.ndim != 2:
+        return None
+    h, w = image.shape
+    buf = ctypes.create_string_buffer(lib.bmp8_encoded_size(h, w))
+    n = lib.bmp8_encode(
+        image.ctypes.data_as(ctypes.c_void_p), h, w, ctypes.cast(buf, ctypes.c_void_p)
+    )
+    return buf.raw[:n]

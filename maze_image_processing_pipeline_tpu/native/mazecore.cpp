@@ -1,0 +1,159 @@
+// mazecore: native host runtime helpers for the MAZE-IPP-TPU framework.
+//
+// The compute path is JAX/XLA on the TPU; this library accelerates the
+// host-side data plane. First component: a zero-dependency BMP codec for
+// the 8-bit grayscale crops the LOKI camera writes (the reference decodes
+// them through PIL/imageio; here small-crop decode bypasses the general
+// codec machinery entirely).
+//
+// Build: g++ -O3 -march=native -shared -fPIC mazecore.cpp -o _mazecore.so
+
+#include <cstdint>
+#include <cstring>
+#include <cstddef>
+
+namespace {
+
+inline uint16_t rd16(const uint8_t* p) {
+    return static_cast<uint16_t>(p[0] | (p[1] << 8));
+}
+inline uint32_t rd32(const uint8_t* p) {
+    return static_cast<uint32_t>(p[0] | (p[1] << 8) | (p[2] << 16) |
+                                 (static_cast<uint32_t>(p[3]) << 24));
+}
+inline void wr16(uint8_t* p, uint16_t v) {
+    p[0] = v & 0xff;
+    p[1] = (v >> 8) & 0xff;
+}
+inline void wr32(uint8_t* p, uint32_t v) {
+    p[0] = v & 0xff;
+    p[1] = (v >> 8) & 0xff;
+    p[2] = (v >> 16) & 0xff;
+    p[3] = (v >> 24) & 0xff;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Query BMP dimensions. Returns 0 on success; fills height/width/channels.
+// Supports uncompressed 8-bit palette (treated as grayscale) and 24/32-bit.
+int bmp_probe(const uint8_t* data, size_t n, int* height, int* width,
+              int* channels) {
+    if (n < 54 || data[0] != 'B' || data[1] != 'M') return -1;
+    uint32_t dib = rd32(data + 14);
+    if (dib < 40) return -2;
+    int32_t w = static_cast<int32_t>(rd32(data + 18));
+    int32_t h = static_cast<int32_t>(rd32(data + 22));
+    uint16_t bpp = rd16(data + 28);
+    uint32_t compression = rd32(data + 30);
+    if (compression != 0) return -3;  // only BI_RGB
+    if (w <= 0 || w > 1 << 20) return -4;
+    int habs = h < 0 ? -h : h;
+    if (habs <= 0 || habs > 1 << 20) return -4;
+    if (bpp == 8) {
+        *channels = 1;
+    } else if (bpp == 24) {
+        *channels = 3;
+    } else if (bpp == 32) {
+        *channels = 4;
+    } else {
+        return -5;
+    }
+    *height = habs;
+    *width = w;
+    return 0;
+}
+
+// Decode into caller-allocated out (height*width*channels). Grayscale BMPs
+// (8-bit with a gray palette) decode to 1 channel; color ones to RGB(A).
+int bmp_decode(const uint8_t* data, size_t n, uint8_t* out) {
+    int H, W, C;
+    int rc = bmp_probe(data, n, &H, &W, &C);
+    if (rc != 0) return rc;
+
+    uint32_t offset = rd32(data + 10);
+    int32_t h_raw = static_cast<int32_t>(rd32(data + 22));
+    bool bottom_up = h_raw > 0;
+    uint16_t bpp = rd16(data + 28);
+    size_t row_stride = (static_cast<size_t>(W) * bpp / 8 + 3) & ~size_t(3);
+    if (offset + row_stride * H > n) return -6;
+
+    // Palette for 8-bit (after the DIB header).
+    const uint8_t* palette = nullptr;
+    if (bpp == 8) {
+        uint32_t dib = rd32(data + 14);
+        palette = data + 14 + dib;
+        if (static_cast<size_t>(palette - data) + 256 * 4 > offset) palette = nullptr;
+    }
+
+    for (int y = 0; y < H; ++y) {
+        const uint8_t* src = data + offset + row_stride * (bottom_up ? H - 1 - y : y);
+        uint8_t* dst = out + static_cast<size_t>(y) * W * C;
+        if (bpp == 8) {
+            if (palette) {
+                for (int x = 0; x < W; ++x) {
+                    // BGRA palette entry; assume gray (LOKI) -> take B.
+                    dst[x] = palette[src[x] * 4];
+                }
+            } else {
+                std::memcpy(dst, src, W);
+            }
+        } else if (bpp == 24) {
+            for (int x = 0; x < W; ++x) {  // BGR -> RGB
+                dst[3 * x + 0] = src[3 * x + 2];
+                dst[3 * x + 1] = src[3 * x + 1];
+                dst[3 * x + 2] = src[3 * x + 0];
+            }
+        } else {  // 32: BGRA -> RGBA
+            for (int x = 0; x < W; ++x) {
+                dst[4 * x + 0] = src[4 * x + 2];
+                dst[4 * x + 1] = src[4 * x + 1];
+                dst[4 * x + 2] = src[4 * x + 0];
+                dst[4 * x + 3] = src[4 * x + 3];
+            }
+        }
+    }
+    return 0;
+}
+
+// Required output buffer size for encoding an 8-bit grayscale BMP.
+size_t bmp8_encoded_size(int height, int width) {
+    size_t row_stride = (static_cast<size_t>(width) + 3) & ~size_t(3);
+    return 54 + 256 * 4 + row_stride * height;
+}
+
+// Encode 8-bit grayscale image as a palette BMP. Returns bytes written.
+size_t bmp8_encode(const uint8_t* img, int height, int width, uint8_t* out) {
+    size_t row_stride = (static_cast<size_t>(width) + 3) & ~size_t(3);
+    size_t data_offset = 54 + 256 * 4;
+    size_t total = data_offset + row_stride * height;
+
+    std::memset(out, 0, data_offset);
+    out[0] = 'B';
+    out[1] = 'M';
+    wr32(out + 2, static_cast<uint32_t>(total));
+    wr32(out + 10, static_cast<uint32_t>(data_offset));
+    wr32(out + 14, 40);                 // DIB header size
+    wr32(out + 18, static_cast<uint32_t>(width));
+    wr32(out + 22, static_cast<uint32_t>(height));  // bottom-up
+    wr16(out + 26, 1);                  // planes
+    wr16(out + 28, 8);                  // bpp
+    wr32(out + 34, static_cast<uint32_t>(row_stride * height));
+    wr32(out + 46, 256);                // palette size
+
+    uint8_t* pal = out + 54;
+    for (int i = 0; i < 256; ++i) {
+        pal[4 * i + 0] = pal[4 * i + 1] = pal[4 * i + 2] = static_cast<uint8_t>(i);
+        pal[4 * i + 3] = 0;
+    }
+
+    for (int y = 0; y < height; ++y) {
+        uint8_t* dst = out + data_offset + row_stride * (height - 1 - y);
+        std::memcpy(dst, img + static_cast<size_t>(y) * width, width);
+        std::memset(dst + width, 0, row_stride - width);
+    }
+    return total;
+}
+
+}  // extern "C"

@@ -1,23 +1,25 @@
-"""MXU-friendly fused region measurement (the hot-path regionprops).
+"""Scatter-free fused region measurement (the hot-path regionprops).
 
-The general :mod:`.regionprops` uses segment reductions (scatter-adds), which
-are slow on TPU (~500 ms/frame measured). This module recasts the whole
-measurement as **one-hot matrix products on the MXU** plus cheap VPU
-reductions — no scatters anywhere:
+The general :mod:`.regionprops` uses segment reductions (scatter-adds),
+which are slow on TPU (~500 ms/frame measured). This module recasts every
+statistic as a **one-hot compare fused into a reduction** — XLA fuses
+``(labels == r)`` into each reduce without materializing the ``(…, R)``
+tensor, hitting VPU speeds — plus one bf16 MXU contraction for the
+per-region intensity histograms:
 
-* One chunked label one-hot ``(B, Pc, R)`` feeds
-  - a moments matmul ``einsum('bpr,bpf->brf')`` (area, centroids, weighted
-    centroids, product moment, perimeter contributions),
-  - row/column presence counts (summed within the chunk) that yield
-    bounding boxes *and* the exact separable second moments ``mu20``/``mu02``.
-* Grey-level statistics come from per-region 256-bin histograms computed as
-  ``einsum('bpr,bpc->brc')`` of the label one-hot against an intensity-bin
-  one-hot (bf16 MXU contraction) — giving exact mean/std/skew/kurt/min/max/
-  median/mode/quantiles for uint8 imagery.
-* Perimeter uses the calibrated marching-squares lengths of
-  :mod:`.regionprops`, attributed per *pixel* (each 2×2 block's length is
-  assigned to its raster-last foreground corner) so it rides the same one-hot
-  matmul instead of a second label pass.
+* ``area``/``perimeter``/intensity sums: masked reduces over (H, W);
+* row/column presence counts: masked reduces over one spatial axis, giving
+  bounding boxes *and* exact separable second moments ``mu20``/``mu02``;
+* cancellation-sensitive terms (``mu11``, intensity central moments) use a
+  second pass with per-pixel gathered centroids/means (gathers are cheap;
+  scatters are not);
+* histograms: chunked ``einsum('bpr,bpc->brc')`` of the label one-hot
+  against an intensity-bin one-hot in bf16 (exact for 0/1 values).
+
+Perimeter uses the calibrated marching-squares lengths of
+:mod:`.regionprops`, attributed per pixel (each 2×2 block's length is
+assigned to its raster-last foreground corner — blocks never span two
+8-connected regions).
 
 Output keys match :func:`.regionprops.regionprops` (the slow version is the
 test oracle), minus ``feret_diameter_max`` (computed per-crop on host where
@@ -41,7 +43,6 @@ def _per_pixel_perimeter(labels: jnp.ndarray) -> jnp.ndarray:
     """Assign each 2×2 block's contour length to its raster-last fg corner."""
     fg = labels > 0
     block_len = _marching_squares_length(fg)  # (..., H+1, W+1)
-    # Corners of block (i, j) are pixels (i-1..i, j-1..j) of the padded grid.
     pad = [(0, 0)] * (fg.ndim - 2) + [(1, 1), (1, 1)]
     m = jnp.pad(fg, pad)
     a = m[..., :-1, :-1]
@@ -54,8 +55,7 @@ def _per_pixel_perimeter(labels: jnp.ndarray) -> jnp.ndarray:
     to_b = b & ~c & ~d
     to_a = a & ~b & ~c & ~d
     out = jnp.zeros(fg.shape, jnp.float32)
-    # Block (i,j) corner pixel offsets in unpadded coords:
-    #   a -> (i-1, j-1), b -> (i-1, j), c -> (i, j-1), d -> (i, j)
+    # Block (i,j) corner pixels: a=(i-1,j-1) b=(i-1,j) c=(i,j-1) d=(i,j).
     out = out + jnp.where(to_d, block_len, 0.0)[..., :-1, :-1]
     out = out + jnp.where(to_c, block_len, 0.0)[..., :-1, 1:]
     out = out + jnp.where(to_b, block_len, 0.0)[..., 1:, :-1]
@@ -64,16 +64,15 @@ def _per_pixel_perimeter(labels: jnp.ndarray) -> jnp.ndarray:
 
 
 @functools.partial(
-    jax.jit,
-    static_argnames=("num_segments", "row_chunk", "compute_histogram"),
+    jax.jit, static_argnames=("num_segments", "compute_histogram", "hist_row_chunk")
 )
 def regionprops_fused(
     labels: jnp.ndarray,
     intensity: Optional[jnp.ndarray] = None,
     *,
     num_segments: int,
-    row_chunk: int = 64,
     compute_histogram: bool = True,
+    hist_row_chunk: int = 128,
 ) -> Dict[str, jnp.ndarray]:
     """Measure all regions of a batch of label images without scatters.
 
@@ -81,9 +80,8 @@ def regionprops_fused(
         labels: int32 (..., H, W), ids in [0, R], 0 = background.
         intensity: optional (..., H, W) uint8-range intensity image.
         num_segments: static region axis size R+1.
-        row_chunk: rows per one-hot chunk (VMEM working-set control).
-        compute_histogram: build per-region 256-bin histograms (uint8 only)
-            and derive grey statistics from them.
+        compute_histogram: per-region 256-bin histograms (uint8 intensity).
+        hist_row_chunk: rows per histogram-contraction chunk.
 
     Returns:
         dict of (..., num_segments) arrays; keys as in ``regionprops``.
@@ -97,83 +95,19 @@ def regionprops_fused(
     if intensity is not None:
         inten = intensity.reshape((-1, H, W)).astype(jnp.float32)
 
-    perim_px = _per_pixel_perimeter(lab)
-
-    n_chunks = -(-H // row_chunk)
-    H_pad = n_chunks * row_chunk
-    if H_pad != H:
-        lab = jnp.pad(lab, ((0, 0), (0, H_pad - H), (0, 0)))
-        perim_px = jnp.pad(perim_px, ((0, 0), (0, H_pad - H), (0, 0)))
-        if inten is not None:
-            inten = jnp.pad(inten, ((0, 0), (0, H_pad - H), (0, 0)))
-
     r_ids = jnp.arange(R, dtype=jnp.int32)
+    oh = lab[..., None] == r_ids  # virtual; fused into each reduce
 
-    # Feature planes joined to the moments matmul: ones, I, I*y, I*x, perim.
-    def chunk_stats(carry, idx):
-        moments_acc, rowcnt_acc, colcnt_acc, hist_acc = carry
-        y0 = idx * row_chunk
-        lab_c = jax.lax.dynamic_slice_in_dim(lab, y0, row_chunk, axis=1)
-        perim_c = jax.lax.dynamic_slice_in_dim(perim_px, y0, row_chunk, axis=1)
+    def reduce_hw(values):  # Σ over pixels of values where label==r
+        return jnp.sum(jnp.where(oh, values[..., None], 0.0), axis=(1, 2))
 
-        onehot = (lab_c[..., None] == r_ids).astype(jnp.float32)  # (B,hc,W,R)
-
-        yy = (
-            jax.lax.broadcasted_iota(jnp.float32, (row_chunk, W), 0)
-            + y0.astype(jnp.float32)
-        )
-        xx = jax.lax.broadcasted_iota(jnp.float32, (row_chunk, W), 1)
-
-        feats = [jnp.ones((B, row_chunk, W), jnp.float32), perim_c]
-        if inten is not None:
-            inten_c = jax.lax.dynamic_slice_in_dim(inten, y0, row_chunk, axis=1)
-            feats += [inten_c, inten_c * yy, inten_c * xx]
-        fstack = jnp.stack(feats, axis=-1)  # (B,hc,W,F)
-
-        moments_acc = moments_acc + jnp.einsum(
-            "bhwr,bhwf->brf",
-            onehot,
-            fstack,
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        rowcnt = jnp.sum(onehot, axis=2)  # (B,hc,R)
-        rowcnt_acc = jax.lax.dynamic_update_slice_in_dim(
-            rowcnt_acc, rowcnt, y0, axis=1
-        )
-        colcnt_acc = colcnt_acc + jnp.sum(onehot, axis=1)  # (B,W,R)
-
-        if compute_histogram and inten is not None:
-            bins = jnp.clip(inten_c, 0, 255).astype(jnp.int32)
-            bin_onehot = (bins[..., None] == jnp.arange(256, dtype=jnp.int32)).astype(
-                jnp.bfloat16
-            )
-            hist_acc = hist_acc + jnp.einsum(
-                "bhwr,bhwc->brc",
-                onehot.astype(jnp.bfloat16),
-                bin_onehot,
-                preferred_element_type=jnp.float32,
-            )
-
-        return (moments_acc, rowcnt_acc, colcnt_acc, hist_acc), None
-
-    F = 5 if inten is not None else 2
-    init = (
-        jnp.zeros((B, R, F), jnp.float32),
-        jnp.zeros((B, H_pad, R), jnp.float32),
-        jnp.zeros((B, W, R), jnp.float32),
-        jnp.zeros((B, R, 256), jnp.float32)
-        if (compute_histogram and inten is not None)
-        else jnp.zeros((B, 1, 1), jnp.float32),
-    )
-    (moments, rowcnt, colcnt, hist), _ = jax.lax.scan(
-        chunk_stats, init, jnp.arange(n_chunks, dtype=jnp.int32)
-    )
-    rowcnt = rowcnt[:, :H]
-
-    area = moments[..., 0]
+    area = jnp.sum(oh, axis=(1, 2), dtype=jnp.float32)
     safe_area = jnp.maximum(area, 1.0)
-    perim = moments[..., 1]
+
+    rowcnt = jnp.sum(oh, axis=2, dtype=jnp.float32)  # (B, H, R)
+    colcnt = jnp.sum(oh, axis=1, dtype=jnp.float32)  # (B, W, R)
+
+    perim = reduce_hw(_per_pixel_perimeter(lab))
 
     hh = jnp.arange(H, dtype=jnp.float32)[None, :, None]
     ww = jnp.arange(W, dtype=jnp.float32)[None, :, None]
@@ -187,58 +121,23 @@ def regionprops_fused(
     mu20 = jnp.sum(rowcnt * (hh - cy[:, None, :]) ** 2, axis=1)
     mu02 = jnp.sum(colcnt * (ww - cx[:, None, :]) ** 2, axis=1)
 
-    # Product moment: E[yx] - cy*cx via one more tiny matmul over rows:
-    # sum_yx[r] = sum_h h * rowsum_x(h, r) where rowsum_x = sum_w w*onehot.
-    # We fold it into the intensity-free case with a dedicated pass below.
-    # (B,H,R) rowcnt does not carry x information, so compute directly:
+    # Product moment via gathered centroids (cancellation-safe; gather only).
+    flat = lab.reshape(B, H * W)
+    cy_px = jnp.take_along_axis(cy, flat, axis=-1).reshape(B, H, W)
+    cx_px = jnp.take_along_axis(cx, flat, axis=-1).reshape(B, H, W)
     yy_full = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
     xx_full = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
-    lab_hw = lab[:, :H]
-    # mu11 via gathered centroids (two-pass, cancellation-safe); gathers are
-    # cheap on TPU (no scatters involved).
-    flat = lab_hw.reshape(B, H * W)
-    cy_px = jnp.take_along_axis(cy, flat, axis=-1)
-    cx_px = jnp.take_along_axis(cx, flat, axis=-1)
-    fgf = (flat > 0).astype(jnp.float32)
-    dyx = (
-        (yy_full.reshape(1, -1) - cy_px)
-        * (xx_full.reshape(1, -1) - cx_px)
-        * fgf
-    )
-    # Segmentless sum: reuse one-hot? A (B,P)x(B,P,R) matmul is as big as the
-    # main pass; instead accumulate mu11 with a row-chunked einsum too.
-    def chunk_mu11(acc, idx):
-        p0 = idx * (row_chunk * W)
-        d_c = jax.lax.dynamic_slice_in_dim(dyx, p0, row_chunk * W, axis=1)
-        l_c = jax.lax.dynamic_slice_in_dim(flat, p0, row_chunk * W, axis=1)
-        onehot = (l_c[..., None] == r_ids).astype(jnp.float32)
-        return acc + jnp.einsum(
-            "bpr,bp->br",
-            onehot,
-            d_c,
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        ), None
-
-    pad_p = H_pad * W - H * W
-    if pad_p:
-        dyx = jnp.pad(dyx, ((0, 0), (0, pad_p)))
-        flat = jnp.pad(flat, ((0, 0), (0, pad_p)))
-    mu11, _ = jax.lax.scan(
-        chunk_mu11, jnp.zeros((B, R), jnp.float32), jnp.arange(n_chunks, dtype=jnp.int32)
-    )
+    mu11 = reduce_hw((yy_full - cy_px) * (xx_full - cx_px))
 
     # Bounding boxes from presence.
     row_present = rowcnt > 0
     col_present = colcnt > 0
-    big_h = jnp.float32(H + 1)
-    big_w = jnp.float32(W + 1)
-    min_row = jnp.min(jnp.where(row_present, hh, big_h), axis=1)
+    min_row = jnp.min(jnp.where(row_present, hh, jnp.float32(H + 1)), axis=1)
     max_row = jnp.max(jnp.where(row_present, hh, -1.0), axis=1) + 1
-    min_col = jnp.min(jnp.where(col_present, ww, big_w), axis=1)
+    min_col = jnp.min(jnp.where(col_present, ww, jnp.float32(W + 1)), axis=1)
     max_col = jnp.max(jnp.where(col_present, ww, -1.0), axis=1) + 1
 
-    # Ellipse fit (same formulas as regionprops).
+    # Ellipse fit (skimage formulas: 4·sqrt of inertia eigenvalues).
     m20 = mu20 / safe_area
     m02 = mu02 / safe_area
     m11 = mu11 / safe_area
@@ -267,34 +166,71 @@ def regionprops_fused(
     }
 
     if inten is not None:
-        s1 = moments[..., 2]
+        s1 = reduce_hw(inten)
         safe_s1 = jnp.where(s1 != 0, s1, 1.0)
-        props["intensity_sum"] = s1
-        props["weighted_centroid_row"] = moments[..., 3] / safe_s1
-        props["weighted_centroid_col"] = moments[..., 4] / safe_s1
-        props["intensity_mean"] = s1 / safe_area
+        mean = s1 / safe_area
+
+        # Central intensity moments via gathered per-pixel means.
+        mean_px = jnp.take_along_axis(mean, flat, axis=-1).reshape(B, H, W)
+        di = inten - mean_px
+        var = jnp.maximum(reduce_hw(di * di) / safe_area, 0.0)
+        std = jnp.sqrt(var)
+        std_safe = jnp.maximum(std, 1e-12)
+        m3 = reduce_hw(di * di * di) / safe_area
+        m4 = reduce_hw(di * di * di * di) / safe_area
+
+        props.update(
+            intensity_sum=s1,
+            intensity_mean=mean,
+            intensity_std=std,
+            intensity_skew=m3 / std_safe**3,
+            intensity_kurtosis=m4 / std_safe**4 - 3.0,
+            weighted_centroid_row=reduce_hw(inten * yy_full) / safe_s1,
+            weighted_centroid_col=reduce_hw(inten * xx_full) / safe_s1,
+            intensity_min=jnp.min(
+                jnp.where(oh, inten[..., None], jnp.float32(1e9)), axis=(1, 2)
+            ),
+            intensity_max=jnp.max(
+                jnp.where(oh, inten[..., None], jnp.float32(-1e9)), axis=(1, 2)
+            ),
+        )
 
         if compute_histogram:
-            props["histogram"] = hist
-            bins = jnp.arange(256, dtype=jnp.float32)
-            mean = props["intensity_mean"]
-            d = bins[None, None, :] - mean[..., None]
-            var = jnp.sum(hist * d * d, axis=-1) / safe_area
-            std = jnp.sqrt(jnp.maximum(var, 0.0))
-            std_safe = jnp.maximum(std, 1e-12)
-            m3 = jnp.sum(hist * d * d * d, axis=-1) / safe_area
-            m4 = jnp.sum(hist * d * d * d * d, axis=-1) / safe_area
-            present = hist > 0
-            props["intensity_std"] = std
-            props["intensity_skew"] = m3 / std_safe**3
-            props["intensity_kurtosis"] = m4 / std_safe**4 - 3.0
-            props["intensity_min"] = jnp.min(
-                jnp.where(present, bins[None, None, :], 256.0), axis=-1
+            bins_i = jnp.clip(inten, 0, 255).astype(jnp.int32)
+            n_chunks = -(-H // hist_row_chunk)
+            H_pad = n_chunks * hist_row_chunk
+            lab_p = jnp.pad(lab, ((0, 0), (0, H_pad - H), (0, 0))) if H_pad != H else lab
+            bin_p = (
+                jnp.pad(bins_i, ((0, 0), (0, H_pad - H), (0, 0)))
+                if H_pad != H
+                else bins_i
             )
-            props["intensity_max"] = jnp.max(
-                jnp.where(present, bins[None, None, :], -1.0), axis=-1
-            )
+            # Padding rows are label 0 (background): harmless.
+            lab_c = lab_p.reshape(B, n_chunks, hist_row_chunk * W)
+            bin_c = bin_p.reshape(B, n_chunks, hist_row_chunk * W)
+            bin_range = jnp.arange(256, dtype=jnp.int32)
 
-    return {
-        k: v.reshape(batch_shape + v.shape[1:]) for k, v in props.items()
-    }
+            def body(acc, xs):
+                lc, bc = xs
+                l_oh = (lc[..., None] == r_ids).astype(jnp.bfloat16)
+                b_oh = (bc[..., None] == bin_range).astype(jnp.bfloat16)
+                return (
+                    acc
+                    + jnp.einsum(
+                        "bpr,bpc->brc",
+                        l_oh,
+                        b_oh,
+                        preferred_element_type=jnp.float32,
+                    ),
+                    None,
+                )
+
+            hist0 = jnp.zeros((B, R, 256), jnp.float32)
+            hist, _ = jax.lax.scan(
+                body,
+                hist0,
+                (jnp.moveaxis(lab_c, 1, 0), jnp.moveaxis(bin_c, 1, 0)),
+            )
+            props["histogram"] = hist
+
+    return {k: v.reshape(batch_shape + v.shape[1:]) for k, v in props.items()}

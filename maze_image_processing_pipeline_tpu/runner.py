@@ -69,7 +69,22 @@ class PipelineRunner(abc.ABC):
         with open(task_fn) as f:
             config_dict = yaml.safe_load(f)
 
-        cls._configure_and_run(config_dict)
+        # Optional device tracing: MAZE_IPP_PROFILE_DIR=<dir> captures a
+        # jax.profiler trace of the whole run (view with TensorBoard /
+        # xprof). SURVEY.md §5: the reference has no tracing; we add it.
+        profile_dir = os.environ.get("MAZE_IPP_PROFILE_DIR")
+        if profile_dir:
+            import jax
+
+            root_logger.info("Capturing jax.profiler trace to %s", profile_dir)
+            jax.profiler.start_trace(profile_dir)
+        try:
+            cls._configure_and_run(config_dict)
+        finally:
+            if profile_dir:
+                import jax
+
+                jax.profiler.stop_trace()
 
         root_logger.info("Finished processing.")
 

@@ -1,0 +1,51 @@
+import numpy as np
+import pytest
+
+from maze_image_processing_pipeline_tpu import native
+from maze_image_processing_pipeline_tpu.dataio.imageio import decode_image, encode_image
+
+
+@pytest.fixture(scope="module")
+def lib():
+    lib = native.get_lib()
+    if lib is None:
+        pytest.skip("native library unavailable (no g++)")
+    return lib
+
+
+class TestNativeBmp:
+    def test_roundtrip(self, lib, rng):
+        img = (rng.random((37, 53)) * 255).astype(np.uint8)  # odd width: padding
+        data = native.bmp8_encode(img)
+        assert data is not None and data[:2] == b"BM"
+        back = native.bmp_decode(data)
+        np.testing.assert_array_equal(back, img)
+
+    def test_interop_with_cv2(self, lib, rng):
+        # Our encoder's output must decode identically through OpenCV.
+        import cv2
+
+        img = (rng.random((20, 31)) * 255).astype(np.uint8)
+        data = native.bmp8_encode(img)
+        via_cv2 = cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_GRAYSCALE)
+        np.testing.assert_array_equal(via_cv2, img)
+
+        # ... and cv2-encoded BMPs must decode through our decoder.
+        ok, buf = cv2.imencode(".bmp", img)
+        assert ok
+        ours = native.bmp_decode(buf.tobytes())
+        assert ours is not None
+        if ours.ndim == 3:  # cv2 may write 24-bit
+            ours = ours[..., 0]
+        np.testing.assert_array_equal(ours, img)
+
+    def test_garbage_rejected(self, lib):
+        assert native.bmp_decode(b"BMgarbage") is None
+        assert native.bmp_decode(b"\x89PNG\r\n") is None
+
+    def test_imageio_integration(self, lib, rng):
+        img = (rng.random((16, 24)) * 255).astype(np.uint8)
+        data = encode_image(img, "x.bmp")
+        assert data[:2] == b"BM"
+        back = decode_image(data, mode="L")
+        np.testing.assert_array_equal(back, img)

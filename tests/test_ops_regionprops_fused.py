@@ -19,7 +19,7 @@ def test_fused_matches_reference_regionprops(rng):
     R = 64
 
     ref = rp.regionprops(labels, intensity, num_segments=R, compute_histogram=True)
-    fused = regionprops_fused(labels, intensity, num_segments=R, row_chunk=32)
+    fused = regionprops_fused(labels, intensity, num_segments=R, hist_row_chunk=32)
 
     n = np.asarray(n)
     for b in range(3):
