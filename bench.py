@@ -56,9 +56,14 @@ def _chain_factory():
 
     from maze_image_processing_pipeline_tpu.ops import label as lm
     from maze_image_processing_pipeline_tpu.ops import morphology as morph
+    from maze_image_processing_pipeline_tpu.ops.pallas_props import (
+        regionprops_fused_pallas,
+    )
     from maze_image_processing_pipeline_tpu.ops.regionprops_fused import (
         regionprops_fused,
     )
+
+    use_pallas = jax.default_backend() == "tpu"
 
     def chain(images):
         mask = images > THRESHOLD
@@ -66,9 +71,14 @@ def _chain_factory():
         mask = morph.binary_closing(mask, RADIUS)
         labels, n = lm.label(mask, connectivity=2)
         labels, n = lm.remove_small_objects(labels, MIN_AREA, num_segments=256)
-        props = regionprops_fused(
-            labels, images, num_segments=NUM_SEGMENTS, compute_histogram=True
-        )
+        if use_pallas:
+            props = regionprops_fused_pallas(
+                labels, images, num_segments=NUM_SEGMENTS
+            )
+        else:
+            props = regionprops_fused(
+                labels, images, num_segments=NUM_SEGMENTS, compute_histogram=True
+            )
         return n, props
 
     return jax, jnp, chain

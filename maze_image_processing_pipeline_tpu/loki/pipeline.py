@@ -341,9 +341,11 @@ class DeviceFramePostprocess(Node):
 
         from ..ops import label as lm
         from ..ops import morphology as morph
+        from ..ops.pallas_props import regionprops_fused_pallas
         from ..ops.regionprops_fused import regionprops_fused
 
         cfg = config
+        use_pallas = jax.default_backend() == "tpu"
 
         @partial(jax.jit, static_argnames=())
         def chain(pred, image):
@@ -359,12 +361,17 @@ class DeviceFramePostprocess(Node):
                 labels, n = lm.remove_small_objects(
                     labels, cfg.min_area, num_segments=4 * cfg.max_regions
                 )
-            props = regionprops_fused(
-                labels,
-                image,
-                num_segments=cfg.max_regions,
-                compute_histogram=True,
-            )
+            if use_pallas:
+                props = regionprops_fused_pallas(
+                    labels, image, num_segments=cfg.max_regions
+                )
+            else:
+                props = regionprops_fused(
+                    labels,
+                    image,
+                    num_segments=cfg.max_regions,
+                    compute_histogram=True,
+                )
             return labels, n, props
 
         self._chain = chain

@@ -1,0 +1,32 @@
+"""Pallas fused-props kernel vs the XLA fused oracle (interpreter mode)."""
+
+import numpy as np
+import pytest
+import scipy.ndimage as ndi
+
+from maze_image_processing_pipeline_tpu.ops import label as label_mod
+from maze_image_processing_pipeline_tpu.ops.regionprops_fused import regionprops_fused
+from maze_image_processing_pipeline_tpu.ops.pallas_props import regionprops_fused_pallas
+
+
+def test_pallas_matches_xla_fused(rng):
+    masks = np.stack(
+        [ndi.binary_dilation(rng.random((64, 128)) < 0.05, iterations=2) for _ in range(2)]
+    )
+    inten = (rng.random(masks.shape) * 255).astype(np.uint8)
+    labels, n = label_mod.label(masks, connectivity=2)
+
+    ref = regionprops_fused(labels, inten, num_segments=32)
+    got = regionprops_fused_pallas(
+        labels, inten, num_segments=32, interpret=True
+    )
+
+    n = np.asarray(n)
+    for key in ref:
+        a = np.asarray(ref[key])
+        b = np.asarray(got[key])
+        for bi in range(2):
+            sl = np.s_[bi, 1 : int(n[bi]) + 1]
+            np.testing.assert_allclose(
+                b[sl], a[sl], rtol=2e-3, atol=2e-2, err_msg=f"{key} b={bi}"
+            )
