@@ -377,7 +377,35 @@ class DeviceFramePostprocess(Node):
         self._chain = chain
 
     def transform_stream(self, stream):
+        import collections
+
         from ..engine.core import closing_if_closable
+
+        # Keep up to `in_flight` frames dispatched-but-unfetched: JAX async
+        # dispatch overlaps device work with the host stages around us.
+        in_flight = 2
+        pending: "collections.deque" = collections.deque()
+
+        def emit(entry):
+            obj, dev_out, (H, W) = entry
+            labels_d, n_d, props_d = dev_out
+            labels = np.asarray(labels_d)[:H, :W]
+            n = int(n_d)
+            props = {k: np.asarray(v) for k, v in props_d.items()}
+            if n >= self.config.max_regions:
+                logger.warning(
+                    "Frame has %d regions, exceeding max_regions=%d; "
+                    "excess regions are dropped.",
+                    n,
+                    self.config.max_regions,
+                )
+            if self.config.merge_segments_distance > 0:
+                labels = merge_labels(
+                    labels, max_distance=self.config.merge_segments_distance
+                )
+                props = None  # stale after merging; re-measure per crop
+            self.prepare_output(obj, labels, props, n)
+            return obj
 
         with closing_if_closable(stream):
             for obj in stream:
@@ -391,26 +419,12 @@ class DeviceFramePostprocess(Node):
                 img_p = np.zeros((Hp, Wp), image.dtype)
                 img_p[:H, :W] = image
 
-                labels, n, props = self._chain(pred_p, img_p)
-                labels = np.asarray(labels)[:H, :W]
-                n = int(n)
-                props = {k: np.asarray(v) for k, v in props.items()}
-                if n >= self.config.max_regions:
-                    logger.warning(
-                        "Frame has %d regions, exceeding max_regions=%d; "
-                        "excess regions are dropped.",
-                        n,
-                        self.config.max_regions,
-                    )
+                pending.append((obj, self._chain(pred_p, img_p), (H, W)))
+                while len(pending) > in_flight:
+                    yield emit(pending.popleft())
 
-                if self.config.merge_segments_distance > 0:
-                    labels = merge_labels(
-                        labels, max_distance=self.config.merge_segments_distance
-                    )
-                    props = None  # stale after merging; re-measure per crop
-
-                self.prepare_output(obj, labels, props, n)
-                yield obj
+            while pending:
+                yield emit(pending.popleft())
 
 
 def build_jax_segmentation(

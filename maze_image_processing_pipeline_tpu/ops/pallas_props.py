@@ -38,8 +38,6 @@ from .regionprops_fused import _per_pixel_perimeter
 
 __all__ = ["regionprops_fused_pallas"]
 
-_TH = 8  # rows per tile (f32 sublane granularity)
-
 
 def _pass1_kernel(lab_ref, img_ref, perim_ref, moments_ref, rowcnt_ref, colcnt_ref, hist_ref):
     h = pl.program_id(1)
@@ -160,7 +158,8 @@ def _pass2_kernel(lab_ref, img_ref, centers_ref, out_ref):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_segments", "compute_histogram", "interpret")
+    jax.jit,
+    static_argnames=("num_segments", "compute_histogram", "interpret", "tile_rows"),
 )
 def regionprops_fused_pallas(
     labels: jnp.ndarray,
@@ -169,6 +168,7 @@ def regionprops_fused_pallas(
     num_segments: int,
     compute_histogram: bool = True,
     interpret: bool = False,
+    tile_rows: int = 16,
 ) -> Dict[str, jnp.ndarray]:
     """Pallas single-pass fused region measurement (TPU hot path).
 
@@ -183,6 +183,7 @@ def regionprops_fused_pallas(
     B = lab.shape[0]
     img = intensity.reshape((-1, H, W)).astype(jnp.float32)
 
+    _TH = tile_rows
     n_h = -(-H // _TH)
     H_pad = n_h * _TH
     if H_pad != H:
