@@ -208,6 +208,15 @@ class LokiInputConfig(BaseModel):
         False, description="Detect duplicates. (Default: false)"
     )
 
+    num_shards: int = Field(
+        1,
+        description="Partition the discovered samples across this many hosts "
+        "(strided); each host processes its shard_index-th slice.",
+    )
+    shard_index: int = Field(
+        0, description="This host's shard index in [0, num_shards)."
+    )
+
 
 class MergeAnnotationsConfig(DefaultModel):
     __default_field__ = "annotations_fn"

@@ -184,7 +184,15 @@ def build_input(
 
     logger.info("Found %d input directories in %s", len(sample_roots), input_config.path)
 
-    sample_root = Unpack(natsorted(sample_roots, key=str))
+    sample_roots = natsorted(sample_roots, key=str)
+    if input_config.num_shards > 1:
+        from ..parallel.multihost import partition_work
+
+        sample_roots = partition_work(
+            sample_roots, input_config.num_shards, input_config.shard_index
+        )
+
+    sample_root = Unpack(sample_roots)
     Progress(sample_root)
 
     meta = Call(read_log_and_yaml_meta, sample_root, meta)

@@ -174,16 +174,19 @@ def label(
     # Compaction: rank roots (label == own linear index + 1) in raster order,
     # then min-propagate the rank through each component with the same sweep
     # machinery. (A take_along_axis gather of the ranks — 1 element/pixel —
-    # measured ~100 ms/batch on v5e; the extra propagation is ~5 ms.)
-    flat_shape = fg.shape[:-2] + (H * W,)
-    lab_flat = lab.reshape(flat_shape)
-    lin_flat = lin.reshape(flat_shape) + 1
-    fg_flat = fg.reshape(flat_shape)
-    is_root = fg_flat & (lab_flat == lin_flat)
-    ranks = jnp.cumsum(is_root.astype(jnp.int32), axis=-1)
-    n_regions = ranks[..., -1]
+    # measured ~100 ms/batch on v5e; jnp.cumsum over a flat (B, H·W) axis
+    # ~250 ms. The raster prefix sum is done hierarchically instead: a
+    # log-depth scan within rows plus a scan of per-row totals.)
+    is_root = fg & (lab == lin + 1)
+    root_i = is_root.astype(jnp.int32)
+    within_row = jax.lax.associative_scan(jnp.add, root_i, axis=fg.ndim - 1)
+    row_counts = within_row[..., -1]
+    row_prefix_incl = jax.lax.associative_scan(jnp.add, row_counts, axis=fg.ndim - 2)
+    row_offset = row_prefix_incl - row_counts
+    ranks = within_row + row_offset[..., None]
+    n_regions = row_prefix_incl[..., -1]
 
-    rank_seed = jnp.where(is_root, ranks, _INF).reshape(fg.shape)
+    rank_seed = jnp.where(is_root, ranks, _INF)
     first_r = sweep(rank_seed)
     rank_img, _, _ = jax.lax.while_loop(
         cond, body, (first_r, rank_seed, jnp.int32(1))

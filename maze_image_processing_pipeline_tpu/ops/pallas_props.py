@@ -259,6 +259,9 @@ def regionprops_fused_pallas(
         ],
         out_specs=acc_spec((R, 4)),
         out_shape=jax.ShapeDtypeStruct((B, R, 4), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
         interpret=interpret,
     )(lab, img, centers)
 

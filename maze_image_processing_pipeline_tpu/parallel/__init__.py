@@ -18,5 +18,20 @@ from .mesh import (
     shard_params,
     replicate,
 )
+from .multihost import (
+    host_count,
+    host_id,
+    initialize_distributed,
+    partition_work,
+)
 
-__all__ = ["make_mesh", "shard_batch_spec", "shard_params", "replicate"]
+__all__ = [
+    "make_mesh",
+    "shard_batch_spec",
+    "shard_params",
+    "replicate",
+    "host_count",
+    "host_id",
+    "initialize_distributed",
+    "partition_work",
+]

@@ -74,7 +74,7 @@ def make_loki_sample(
         f.write("sample_program: MOSAiC\n")
 
     date = "20220103"
-    times = [f"12{m:02d}{s:02d}" for m, s in [(1, 2), (1, 32), (2, 2), (2, 32), (3, 2), (3, 32)]]
+    times = [f"12{(62 + 30 * i) // 60:02d}{(62 + 30 * i) % 60:02d}" for i in range(n_frames)]
 
     if with_telemetry:
         for i, t in enumerate(times[:n_frames]):
