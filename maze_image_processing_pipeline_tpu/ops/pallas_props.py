@@ -61,13 +61,18 @@ def _pass1_kernel(lab_ref, img_ref, perim_ref, moments_ref, rowcnt_ref, colcnt_r
 
     oh2 = onehot.reshape(TH * W, R)
     f2 = feats.reshape(TH * W, feats.shape[-1])
+    # Orient the contraction so the tiny feature count lands on the M (not
+    # lane) dimension of the MXU: (F, R) instead of (R, F) — N=5 padded to
+    # 128 lanes wasted ~25x. HIGHEST precision keeps the |values| <= 2^18
+    # feature products exact (Mosaic supports only DEFAULT/HIGHEST).
     m = jax.lax.dot_general(
-        oh2,
         f2,
+        oh2,
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
-    )  # (R, F)
+    )  # (F, R)
+    m = m.T  # (R, F) — tiny in-VMEM transpose
 
     rowcnt_ref[0] = jnp.sum(onehot, axis=1)  # (TH, R)
     colsum = jnp.sum(onehot, axis=0)  # (W, R)
@@ -118,15 +123,17 @@ def _pass2_kernel(lab_ref, img_ref, centers_ref, out_ref):
     onehot = (lab[..., None] == r_ids).astype(jnp.float32)
     oh2 = onehot.reshape(TH * W, R)
 
-    # Gather per-pixel (cy, cx, mean) as one MXU product.
+    # Gather per-pixel (cy, cx, mean) as one MXU product, oriented so the
+    # 3-wide center count sits on M, not the 128-lane N dimension:
+    # (3, P) = centersᵀ(3, R) @ onehotᵀ(R, P).
     centers = centers_ref[0]  # (R, 3)
     px = jax.lax.dot_general(
-        oh2,
         centers,
-        dimension_numbers=(((1,), (0,)), ((), ())),
+        oh2,
+        dimension_numbers=(((0,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
-    ).reshape(TH, W, 3)
+    ).reshape(3, TH, W)
 
     img = img_ref[0].astype(jnp.float32)
     yy = (
@@ -135,18 +142,18 @@ def _pass2_kernel(lab_ref, img_ref, centers_ref, out_ref):
     )
     xx = jax.lax.broadcasted_iota(jnp.int32, (TH, W), 1).astype(jnp.float32)
 
-    dy = yy - px[..., 0]
-    dx = xx - px[..., 1]
-    di = img - px[..., 2]
+    dy = yy - px[0]
+    dx = xx - px[1]
+    di = img - px[2]
     feats = jnp.stack([dy * dx, di * di, di * di * di, di * di * di * di], axis=-1)
 
     m = jax.lax.dot_general(
-        oh2,
         feats.reshape(TH * W, 4),
+        oh2,
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
-    )
+    ).T  # (R, 4)
 
     @pl.when(h == 0)
     def _():
@@ -268,9 +275,11 @@ def regionprops_fused_pallas(
     mu11 = out2[..., 0]
     var = jnp.maximum(out2[..., 1] / safe_area, 0.0)
     std = jnp.sqrt(var)
-    std_safe = jnp.maximum(std, 1e-12)
     m3 = out2[..., 2] / safe_area
     m4 = out2[..., 3] / safe_area
+    # Guard: std**3/std**4 underflow f32 for (near-)constant regions.
+    ok = std > 1e-3
+    std_safe = jnp.where(ok, std, 1.0)
 
     m20 = mu20 / safe_area
     m02 = mu02 / safe_area
@@ -302,8 +311,8 @@ def regionprops_fused_pallas(
         "intensity_sum": s1,
         "intensity_mean": mean,
         "intensity_std": std,
-        "intensity_skew": m3 / std_safe**3,
-        "intensity_kurtosis": m4 / std_safe**4 - 3.0,
+        "intensity_skew": jnp.where(ok, m3 / std_safe**3, 0.0),
+        "intensity_kurtosis": jnp.where(ok, m4 / std_safe**4 - 3.0, 0.0),
         "weighted_centroid_row": (moments[..., 3]) / safe_s1,
         "weighted_centroid_col": (moments[..., 4]) / safe_s1,
         "intensity_min": jnp.min(

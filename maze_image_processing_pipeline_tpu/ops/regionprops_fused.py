@@ -175,16 +175,18 @@ def regionprops_fused(
         di = inten - mean_px
         var = jnp.maximum(reduce_hw(di * di) / safe_area, 0.0)
         std = jnp.sqrt(var)
-        std_safe = jnp.maximum(std, 1e-12)
         m3 = reduce_hw(di * di * di) / safe_area
         m4 = reduce_hw(di * di * di * di) / safe_area
+        # Guard: std**3/std**4 underflow f32 for (near-)constant regions.
+        ok = std > 1e-3
+        std_safe = jnp.where(ok, std, 1.0)
 
         props.update(
             intensity_sum=s1,
             intensity_mean=mean,
             intensity_std=std,
-            intensity_skew=m3 / std_safe**3,
-            intensity_kurtosis=m4 / std_safe**4 - 3.0,
+            intensity_skew=jnp.where(ok, m3 / std_safe**3, 0.0),
+            intensity_kurtosis=jnp.where(ok, m4 / std_safe**4 - 3.0, 0.0),
             weighted_centroid_row=reduce_hw(inten * yy_full) / safe_s1,
             weighted_centroid_col=reduce_hw(inten * xx_full) / safe_s1,
             intensity_min=jnp.min(
