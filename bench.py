@@ -150,12 +150,14 @@ def bench_cpu_single_core(frame: np.ndarray) -> float:
         return labels
 
     chain(frame)  # warm
-    n_iter = 3
-    t0 = time.perf_counter()
-    for _ in range(n_iter):
+    # Best-of-N: the single host core is shared; the minimum wall time is
+    # the least-disturbed measurement.
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
         chain(frame)
-    dt = (time.perf_counter() - t0) / n_iter
-    return 1.0 / dt  # frames/sec
+        best = min(best, time.perf_counter() - t0)
+    return 1.0 / best  # frames/sec
 
 
 def main() -> None:

@@ -60,6 +60,7 @@ def _vertical_pass(
     connectivity: int,
     reverse: bool,
     strip: int = 0,
+    h_axis: int = -2,
 ):
     """Row-sequential propagation through foreground, with diagonal links.
 
@@ -76,8 +77,8 @@ def _vertical_pass(
         strip = 64 if jax.default_backend() == "tpu" else 8
 
     big = _INF
-    H = lab.shape[-2]
-    h_axis = lab.ndim - 2
+    h_axis = h_axis % lab.ndim
+    H = lab.shape[h_axis]
     n_strips = -(-H // strip)
     H_pad = n_strips * strip
     if H_pad != H:
@@ -98,7 +99,7 @@ def _vertical_pass(
             neigh = jnp.minimum(neigh, jnp.minimum(left, right))
         return jnp.where(cur_fg, jnp.minimum(cur, neigh), big)
 
-    row_shape = lab.shape[:-2] + lab.shape[-1:]
+    row_shape = lab.shape[:h_axis] + lab.shape[h_axis + 1 :]
 
     def body(s, state):
         out, carry = state
@@ -146,18 +147,27 @@ def label(
     """
     if connectivity not in (1, 2):
         raise ValueError("connectivity must be 1 or 2")
-    fg = mask.astype(bool)
-    H, W = fg.shape[-2:]
+    fg_in = mask.astype(bool)
+    H, W = fg_in.shape[-2:]
+    batch_shape = fg_in.shape[:-2]
+    fg = fg_in.reshape((-1, H, W))
+
+    # Vertical propagation: the XLA strip walk. (A Pallas variant exists in
+    # .pallas_label but measured slower — the row-dependency chain is
+    # latency-bound and Mosaic's per-row op overhead exceeds XLA's.)
+    def vpass(lab_, reverse):
+        return _vertical_pass(lab_, fg, connectivity, reverse=reverse)
+
     lin = (
-        jax.lax.broadcasted_iota(jnp.int32, fg.shape, fg.ndim - 2) * W
-        + jax.lax.broadcasted_iota(jnp.int32, fg.shape, fg.ndim - 1)
+        jax.lax.broadcasted_iota(jnp.int32, fg.shape, 1) * W
+        + jax.lax.broadcasted_iota(jnp.int32, fg.shape, 2)
     )
     lab0 = jnp.where(fg, lin + 1, _INF)
 
     def sweep(lab):
         lab = _horizontal_pass(lab, fg)
-        lab = _vertical_pass(lab, fg, connectivity, reverse=False)
-        lab = _vertical_pass(lab, fg, connectivity, reverse=True)
+        lab = vpass(lab, False)
+        lab = vpass(lab, True)
         return _horizontal_pass(lab, fg)
 
     def cond(state):
@@ -179,12 +189,12 @@ def label(
     # log-depth scan within rows plus a scan of per-row totals.)
     is_root = fg & (lab == lin + 1)
     root_i = is_root.astype(jnp.int32)
-    within_row = jax.lax.associative_scan(jnp.add, root_i, axis=fg.ndim - 1)
-    row_counts = within_row[..., -1]
-    row_prefix_incl = jax.lax.associative_scan(jnp.add, row_counts, axis=fg.ndim - 2)
+    within_row = jax.lax.associative_scan(jnp.add, root_i, axis=2)
+    row_counts = within_row[..., -1]  # (B, H)
+    row_prefix_incl = jax.lax.associative_scan(jnp.add, row_counts, axis=1)
     row_offset = row_prefix_incl - row_counts
     ranks = within_row + row_offset[..., None]
-    n_regions = row_prefix_incl[..., -1]
+    n_regions = row_prefix_incl[..., -1]  # (B,)
 
     rank_seed = jnp.where(is_root, ranks, _INF)
     first_r = sweep(rank_seed)
@@ -192,7 +202,7 @@ def label(
         cond, body, (first_r, rank_seed, jnp.int32(1))
     )
     compact = jnp.where(fg, rank_img, 0)
-    return compact, n_regions
+    return compact.reshape(batch_shape + (H, W)), n_regions.reshape(batch_shape)
 
 
 @functools.partial(jax.jit, static_argnames=("num_segments",))
