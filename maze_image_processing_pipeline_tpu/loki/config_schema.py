@@ -64,7 +64,8 @@ class JaxSegmentationConfig(DefaultModel):
     model_config = ConfigDict(protected_namespaces=())
 
     stitch: StitchConfig | Literal[False] = Field(
-        True, description="Stitch objects to reconstruct frames."
+        default_factory=StitchConfig,
+        description="Stitch objects to reconstruct frames. (Default: true)",
     )
 
     model_fn: str = Field(
