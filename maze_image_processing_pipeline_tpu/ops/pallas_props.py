@@ -45,71 +45,72 @@ def _pass1_kernel(lab_ref, img_ref, perim_ref, moments_ref, rowcnt_ref, colcnt_r
     R = moments_ref.shape[1]
 
     lab = lab_ref[0]  # (TH, W) int32
-    r_ids = jax.lax.broadcasted_iota(jnp.int32, (TH, W, R), 2)
-    onehot = (lab[..., None] == r_ids).astype(jnp.float32)  # (TH, W, R)
-
-    img = img_ref[0].astype(jnp.float32)
-    perim = perim_ref[0]
-    yy = (
-        jax.lax.broadcasted_iota(jnp.int32, (TH, W), 0).astype(jnp.float32)
-        + (h * TH).astype(jnp.float32)
-    )
-    xx = jax.lax.broadcasted_iota(jnp.int32, (TH, W), 1).astype(jnp.float32)
-
-    ones = jnp.ones((TH, W), jnp.float32)
-    feats = jnp.stack([ones, perim, img, img * yy, img * xx], axis=-1)  # (TH, W, F)
-
-    oh2 = onehot.reshape(TH * W, R)
-    f2 = feats.reshape(TH * W, feats.shape[-1])
-    # Orient the contraction so the tiny feature count lands on the M (not
-    # lane) dimension of the MXU: (F, R) instead of (R, F) — N=5 padded to
-    # 128 lanes wasted ~25x. HIGHEST precision keeps the |values| <= 2^18
-    # feature products exact (Mosaic supports only DEFAULT/HIGHEST).
-    m = jax.lax.dot_general(
-        f2,
-        oh2,
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )  # (F, R)
-    m = m.T  # (R, F) — tiny in-VMEM transpose
-
-    rowcnt_ref[0] = jnp.sum(onehot, axis=1)  # (TH, R)
-    colsum = jnp.sum(onehot, axis=0)  # (W, R)
 
     @pl.when(h == 0)
     def _():
-        moments_ref[0] = m
-        colcnt_ref[0] = colsum
+        moments_ref[:] = jnp.zeros_like(moments_ref)
+        colcnt_ref[:] = jnp.zeros_like(colcnt_ref)
+        hist_ref[:] = jnp.zeros_like(hist_ref)
 
-    @pl.when(h != 0)
+    # Plankton frames are sparse: strips without foreground skip all the
+    # heavy work (their rowcnt/hist/moment contributions are zero; the
+    # background column r=0 is never consumed downstream).
+    has_fg = jnp.any(lab > 0)
+
+    @pl.when(jnp.logical_not(has_fg))
     def _():
-        moments_ref[0] += m
-        colcnt_ref[0] += colsum
+        rowcnt_ref[:] = jnp.zeros_like(rowcnt_ref)
 
-    # Histogram: bf16 MXU contraction of label-onehot vs intensity-bin
-    # onehot, chunked over bins to bound the VMEM working set.
-    bins = img.astype(jnp.int32)
-    oh2_bf16 = oh2.astype(jnp.bfloat16)
-    BIN_CHUNK = 128
-    for c0 in range(0, 256, BIN_CHUNK):
-        bin_ids = (
-            jax.lax.broadcasted_iota(jnp.int32, (TH, W, BIN_CHUNK), 2) + c0
+    @pl.when(has_fg)
+    def _():
+        r_ids = jax.lax.broadcasted_iota(jnp.int32, (TH, W, R), 2)
+        onehot = (lab[..., None] == r_ids).astype(jnp.float32)  # (TH, W, R)
+
+        img = img_ref[0].astype(jnp.float32)
+        perim = perim_ref[0]
+        yy = (
+            jax.lax.broadcasted_iota(jnp.int32, (TH, W), 0).astype(jnp.float32)
+            + (h * TH).astype(jnp.float32)
         )
-        bin_oh = (bins[..., None] == bin_ids).astype(jnp.bfloat16)
-        hh = jax.lax.dot_general(
-            oh2_bf16,
-            bin_oh.reshape(TH * W, BIN_CHUNK),
+        xx = jax.lax.broadcasted_iota(jnp.int32, (TH, W), 1).astype(jnp.float32)
+
+        ones = jnp.ones((TH, W), jnp.float32)
+        feats = jnp.stack([ones, perim, img, img * yy, img * xx], axis=-1)
+
+        oh2 = onehot.reshape(TH * W, R)
+        f2 = feats.reshape(TH * W, feats.shape[-1])
+        # Orient the contraction so the tiny feature count lands on the M
+        # (not the 128-lane N) dimension of the MXU. HIGHEST precision keeps
+        # the |values| <= 2^18 feature products exact (Mosaic supports only
+        # DEFAULT/HIGHEST).
+        m = jax.lax.dot_general(
+            f2,
+            oh2,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (R, BIN_CHUNK)
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (F, R)
 
-        @pl.when(h == 0)
-        def _(hh=hh, c0=c0):
-            hist_ref[0, :, c0 : c0 + BIN_CHUNK] = hh
+        moments_ref[0] += m.T
+        rowcnt_ref[0] = jnp.sum(onehot, axis=1)  # (TH, R)
+        colcnt_ref[0] += jnp.sum(onehot, axis=0)  # (W, R)
 
-        @pl.when(h != 0)
-        def _(hh=hh, c0=c0):
+        # Histogram: bf16 MXU contraction of label-onehot vs intensity-bin
+        # onehot, chunked over bins to bound the VMEM working set.
+        bins = img.astype(jnp.int32)
+        oh2_bf16 = oh2.astype(jnp.bfloat16)
+        BIN_CHUNK = 128
+        for c0 in range(0, 256, BIN_CHUNK):
+            bin_ids = (
+                jax.lax.broadcasted_iota(jnp.int32, (TH, W, BIN_CHUNK), 2) + c0
+            )
+            bin_oh = (bins[..., None] == bin_ids).astype(jnp.bfloat16)
+            hh = jax.lax.dot_general(
+                oh2_bf16,
+                bin_oh.reshape(TH * W, BIN_CHUNK),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
             hist_ref[0, :, c0 : c0 + BIN_CHUNK] += hh
 
 
@@ -119,49 +120,54 @@ def _pass2_kernel(lab_ref, img_ref, centers_ref, out_ref):
     R = centers_ref.shape[1]
 
     lab = lab_ref[0]
-    r_ids = jax.lax.broadcasted_iota(jnp.int32, (TH, W, R), 2)
-    onehot = (lab[..., None] == r_ids).astype(jnp.float32)
-    oh2 = onehot.reshape(TH * W, R)
-
-    # Gather per-pixel (cy, cx, mean) as one MXU product, oriented so the
-    # 3-wide center count sits on M, not the 128-lane N dimension:
-    # (3, P) = centersᵀ(3, R) @ onehotᵀ(R, P).
-    centers = centers_ref[0]  # (R, 3)
-    px = jax.lax.dot_general(
-        centers,
-        oh2,
-        dimension_numbers=(((0,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    ).reshape(3, TH, W)
-
-    img = img_ref[0].astype(jnp.float32)
-    yy = (
-        jax.lax.broadcasted_iota(jnp.int32, (TH, W), 0).astype(jnp.float32)
-        + (h * TH).astype(jnp.float32)
-    )
-    xx = jax.lax.broadcasted_iota(jnp.int32, (TH, W), 1).astype(jnp.float32)
-
-    dy = yy - px[0]
-    dx = xx - px[1]
-    di = img - px[2]
-    feats = jnp.stack([dy * dx, di * di, di * di * di, di * di * di * di], axis=-1)
-
-    m = jax.lax.dot_general(
-        feats.reshape(TH * W, 4),
-        oh2,
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    ).T  # (R, 4)
 
     @pl.when(h == 0)
     def _():
-        out_ref[0] = m
+        out_ref[:] = jnp.zeros_like(out_ref)
 
-    @pl.when(h != 0)
+    has_fg = jnp.any(lab > 0)
+
+    @pl.when(has_fg)
     def _():
-        out_ref[0] += m
+        r_ids = jax.lax.broadcasted_iota(jnp.int32, (TH, W, R), 2)
+        onehot = (lab[..., None] == r_ids).astype(jnp.float32)
+        oh2 = onehot.reshape(TH * W, R)
+
+        # Gather per-pixel (cy, cx, mean) as one MXU product, oriented so
+        # the 3-wide center count sits on M, not the 128-lane N dimension:
+        # (3, P) = centersᵀ(3, R) @ onehotᵀ(R, P).
+        centers = centers_ref[0]  # (R, 3)
+        px = jax.lax.dot_general(
+            centers,
+            oh2,
+            dimension_numbers=(((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ).reshape(3, TH, W)
+
+        img = img_ref[0].astype(jnp.float32)
+        yy = (
+            jax.lax.broadcasted_iota(jnp.int32, (TH, W), 0).astype(jnp.float32)
+            + (h * TH).astype(jnp.float32)
+        )
+        xx = jax.lax.broadcasted_iota(jnp.int32, (TH, W), 1).astype(jnp.float32)
+
+        dy = yy - px[0]
+        dx = xx - px[1]
+        di = img - px[2]
+        feats = jnp.stack(
+            [dy * dx, di * di, di * di * di, di * di * di * di], axis=-1
+        )
+
+        m = jax.lax.dot_general(
+            feats.reshape(TH * W, 4),
+            oh2,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+        out_ref[0] += m.T
 
 
 @functools.partial(

@@ -27,6 +27,13 @@ def test_pallas_matches_xla_fused(rng):
         b = np.asarray(got[key])
         for bi in range(2):
             sl = np.s_[bi, 1 : int(n[bi]) + 1]
+            if key == "orientation":
+                # The major axis is a direction mod pi; near-symmetric
+                # regions legitimately flip between ±pi/2.
+                d = np.abs(b[sl] - a[sl]) % np.pi
+                d = np.minimum(d, np.pi - d)
+                assert (d < 2e-2).all(), f"orientation b={bi}: {d.max()}"
+                continue
             np.testing.assert_allclose(
                 b[sl], a[sl], rtol=2e-3, atol=2e-2, err_msg=f"{key} b={bi}"
             )
