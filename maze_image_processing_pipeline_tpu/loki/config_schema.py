@@ -14,6 +14,7 @@ from typing import Any, Dict, List, Literal, Optional
 from pydantic import BaseModel, ConfigDict, Field, model_validator
 
 from ..config import DefaultModel, TrueToDefaultsModel
+from ..parallel.config import ParallelConfig
 
 
 class SegmentationPostprocessingConfig(TrueToDefaultsModel):
@@ -292,6 +293,11 @@ class SegmentationPipelineConfig(BaseModel):
     segmentation: SegmentationConfig = Field(description="Configuration of the segmentation.")
     postprocess: PostprocessingConfig = Field(description="Configuration of the post-processing.")
     output: EcoTaxaOutputConfig = Field(description="Configuration of the output.")
+    parallel: ParallelConfig | Literal[False] = Field(
+        False,
+        description="Multi-chip execution: shard device batches over a mesh "
+        "of all (or explicitly configured) accelerator devices.",
+    )
     log_interval: str | float = Field(
         "60s", description="The interval at which progress is logged, e.g. 10s or 1m."
     )

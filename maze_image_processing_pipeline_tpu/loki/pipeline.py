@@ -338,6 +338,7 @@ class DeviceFramePostprocess(Node):
         image: RawOrVariable[np.ndarray],
         config: SegmentationPostprocessingConfig,
         bucket: int = 256,
+        mesh=None,
     ) -> None:
         self.pred = pred
         self.image = image
@@ -346,6 +347,11 @@ class DeviceFramePostprocess(Node):
         super().__init__()
 
         import jax
+
+        # Frames are independent: with a mesh, round-robin whole frames over
+        # its devices (throughput parallelism without collectives; dispatch
+        # is async so all chips run concurrently).
+        self._devices = list(mesh.devices.flat) if mesh is not None else [None]
 
         from ..ops import label as lm
         from ..ops import morphology as morph
@@ -389,10 +395,14 @@ class DeviceFramePostprocess(Node):
 
         from ..engine.core import closing_if_closable
 
+        import jax
+
         # Keep up to `in_flight` frames dispatched-but-unfetched: JAX async
-        # dispatch overlaps device work with the host stages around us.
-        in_flight = 2
+        # dispatch overlaps device work with the host stages around us (and
+        # keeps every mesh device busy when frames are round-robined).
+        in_flight = 2 * len(self._devices)
         pending: "collections.deque" = collections.deque()
+        frame_idx = 0
 
         def emit(entry):
             obj, dev_out, (H, W) = entry
@@ -427,6 +437,11 @@ class DeviceFramePostprocess(Node):
                 img_p = np.zeros((Hp, Wp), image.dtype)
                 img_p[:H, :W] = image
 
+                device = self._devices[frame_idx % len(self._devices)]
+                frame_idx += 1
+                if device is not None:
+                    pred_p = jax.device_put(pred_p, device)
+                    img_p = jax.device_put(img_p, device)
                 pending.append((obj, self._chain(pred_p, img_p), (H, W)))
                 while len(pending) > in_flight:
                     yield emit(pending.popleft())
@@ -441,6 +456,7 @@ def build_jax_segmentation(
     image: Variable,
     meta: Variable,
     process_meta: Dict,
+    mesh=None,
 ):
     """Model segmentation: stitch → tile → batched device inference →
     fused device post-processing → region extraction (SURVEY §3.1)."""
@@ -472,11 +488,17 @@ def build_jax_segmentation(
         # Skip empty tiles (no pixels above zero).
         Filter(Call(lambda img: bool((np.asarray(img) > 0).any()), image))
 
+        batch_size = config.batch_size or 8
+        if mesh is not None:
+            # Each device needs a full shard: round the batch up.
+            n_dev = mesh.devices.size
+            batch_size = -(-batch_size // n_dev) * n_dev
         foreground_pred = JaxInference(
             model,
             image,
-            batch_size=config.batch_size or 8,
+            batch_size=batch_size,
             output_key=None,
+            mesh=mesh,
         )
         # Single foreground channel: take channel 0 of the sigmoid output.
         foreground_pred = Call(
@@ -485,7 +507,7 @@ def build_jax_segmentation(
 
     postprocess_config = config.postprocess or SegmentationPostprocessingConfig()
     labels, props, n_regions = DeviceFramePostprocess(
-        foreground_pred, image, postprocess_config
+        foreground_pred, image, postprocess_config, mesh=mesh
     )
 
     if config.full_frame_archive_fn is not None:
@@ -576,13 +598,14 @@ def build_segmentation(
     image,
     meta,
     process_meta: Dict,
+    mesh=None,
 ):
     mask = None
     if config.threshold is not None:
         image, meta, mask = build_threshold_segmentation(config.threshold, image, meta)
     elif config.jax is not None:
         image, meta, mask = build_jax_segmentation(
-            config.jax, target_dir, image, meta, process_meta
+            config.jax, target_dir, image, meta, process_meta, mesh=mesh
         )
     else:  # pragma: no cover - validated by the schema
         raise ValueError(f"Unknown segmentation config: {config}")
@@ -737,6 +760,10 @@ class Runner(PipelineRunner):
                 log_interval = pd.Timedelta(log_interval).total_seconds()
             Progress = partial(LogProgress, log_interval=log_interval)
 
+        from ..parallel import setup_parallel
+
+        mesh = setup_parallel(pipeline_config.parallel)
+
         with Pipeline() as p:
             process_meta_var = Variable("process_meta")
             process_meta = {
@@ -760,6 +787,7 @@ class Runner(PipelineRunner):
                 image,
                 meta,
                 process_meta,
+                mesh=mesh,
             )
 
             StreamBuffer(8)

@@ -110,6 +110,13 @@ class JaxInference(Node):
 
         apply_fn = model.apply
         params = model.params
+        if mesh is not None:
+            # Pre-place params on the mesh: wide channel dims sharded over a
+            # 'model' axis when present, everything else replicated. Avoids
+            # re-placement on every dispatch.
+            from ..parallel.mesh import shard_params
+
+            params = shard_params(params, mesh)
         output_key_ = output_key
         device_pre_ = device_pre
         device_post_ = device_post

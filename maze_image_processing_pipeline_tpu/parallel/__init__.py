@@ -12,6 +12,7 @@ The reference's parallelism ceiling is intra-host threads + stream buffers
   parallel, near-zero DCN traffic), with ``jax.distributed`` initialization.
 """
 
+from .config import ParallelConfig, setup_parallel
 from .mesh import (
     make_mesh,
     shard_batch_spec,
@@ -26,6 +27,8 @@ from .multihost import (
 )
 
 __all__ = [
+    "ParallelConfig",
+    "setup_parallel",
     "make_mesh",
     "shard_batch_spec",
     "shard_params",

@@ -12,6 +12,7 @@ from typing import Dict, List, Literal, Optional, Sequence, Tuple
 from pydantic import BaseModel, ConfigDict, Field
 
 from ..config import TrueToDefaultsModel
+from ..parallel.config import ParallelConfig
 
 
 class EcoTaxaInputConfig(BaseModel):
@@ -166,6 +167,12 @@ class PredictionPipelineConfig(BaseModel):
     )
 
     target_dir: str = Field(description="Directory where the output files are created.")
+
+    parallel: ParallelConfig | Literal[False] = Field(
+        False,
+        description="Multi-chip execution: shard device batches over a mesh "
+        "of all (or explicitly configured) accelerator devices.",
+    )
 
     log_interval: str | float = Field(
         "60s", description="The interval at which progress is logged, e.g. 10s or 1m."

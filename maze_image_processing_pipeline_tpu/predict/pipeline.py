@@ -435,6 +435,9 @@ class Runner(PipelineRunner):
         os.makedirs(config.target_dir, exist_ok=True)
 
         from ..models import JaxInference, load_model
+        from ..parallel import setup_parallel
+
+        mesh = setup_parallel(config.parallel)
 
         with Pipeline() as p:
             process_meta_var = Variable("process_meta")
@@ -551,6 +554,7 @@ class Runner(PipelineRunner):
                     is_batch=is_batch,
                     batch_size=None if is_batch else 8,
                     pre_transform=pre_transform,
+                    mesh=mesh,
                 )
 
             if config.save_raw_h5:

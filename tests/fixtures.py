@@ -103,3 +103,40 @@ def make_loki_sample(
                 f.write(encode_image(crop, oid + image_ext))
 
     return sample
+
+
+def make_threshold_model_dir(path: str, threshold: float = 60.0 / 255.0) -> str:
+    """Save an oracle 'segmentation model' checkpoint: a 1x1-conv net whose
+    sigmoid output reproduces a brightness threshold. Shared by e2e tests."""
+    import jax
+    import jax.numpy as jnp
+    import flax.linen as nn
+
+    from maze_image_processing_pipeline_tpu.models import save_model
+    from maze_image_processing_pipeline_tpu.models.model_io import _ARCHITECTURES
+
+    class ThresholdNet(nn.Module):
+        threshold: float = 60.0 / 255.0
+        scale: float = 500.0
+
+        @nn.compact
+        def __call__(self, x):
+            w = self.param("w", lambda k: jnp.full((1, 1, 3, 1), self.scale / 3))
+            b = self.param("b", lambda k: jnp.full((1,), -self.scale * self.threshold))
+            return (
+                jax.lax.conv_general_dilated(
+                    x.astype(jnp.float32),
+                    w,
+                    (1, 1),
+                    "SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+                + b
+            )
+
+    module = _ARCHITECTURES.setdefault("threshold_net", ThresholdNet)(
+        threshold=threshold
+    )
+    params = module.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
+    save_model(path, module, params, outputs={"pred": {"channel_names": ["fg"]}})
+    return path

@@ -1,0 +1,92 @@
+"""End-to-end multi-chip tests on the virtual 8-device CPU mesh.
+
+The ``parallel:`` config section (the TPU analog of the reference's
+``n_threads`` knob, ``maze_ipp/loki/config_schema.py:66-68``) must produce
+archives identical to the single-device run: batches are sharded over the
+mesh's ``data`` axis and frames round-robined over devices, neither of
+which may change results or output order.
+"""
+
+import os
+
+import jax
+import numpy as np
+import pandas as pd
+import pytest
+
+from maze_image_processing_pipeline_tpu.dataio import Archive, read_tsv
+from maze_image_processing_pipeline_tpu.loki.pipeline import Runner
+from maze_image_processing_pipeline_tpu.parallel import ParallelConfig, setup_parallel
+
+from fixtures import make_loki_sample, make_threshold_model_dir
+
+
+@pytest.fixture(scope="module")
+def model_dir(tmp_path_factory):
+    return make_threshold_model_dir(
+        str(tmp_path_factory.mktemp("model") / "thrnet")
+    )
+
+
+def test_setup_parallel_defaults():
+    assert setup_parallel(False) is None
+    mesh = setup_parallel(ParallelConfig())
+    assert mesh is not None and mesh.devices.size == len(jax.devices())
+    mesh = setup_parallel(ParallelConfig(mesh={"data": 4, "model": 2}))
+    assert mesh.devices.shape == (4, 2)
+
+
+def _run_loki(tmp_path, model_dir, name, parallel):
+    data_dir = tmp_path / "data"
+    if not data_dir.exists():
+        make_loki_sample(
+            str(data_dir), n_frames=4, objects_per_frame=3, frame_shape=(280, 360)
+        )
+    target_dir = str(tmp_path / name)
+    config = {
+        "input": {"path": str(data_dir)},
+        "segmentation": {
+            "jax": {
+                "model_fn": model_dir,
+                "dtype": "float32",
+                "batch_size": 4,
+                "tile_size": 128,
+                "tile_stride": 96,
+                "stitch": True,
+                "postprocess": {"closing_radius": 2, "min_area": 20},
+                "padding": 10,
+            }
+        },
+        "postprocess": {},
+        "output": {"target_dir": target_dir},
+        "parallel": parallel,
+    }
+    Runner._configure_and_run(config)
+    archive_fn = os.path.join(target_dir, "LOKI_PS122-1_7.zip")
+    assert os.path.exists(archive_fn), os.listdir(target_dir)
+    return read_tsv(Archive(archive_fn) / "ecotaxa_export.tsv")
+
+
+def test_loki_parallel_matches_single_device(tmp_path, model_dir):
+    df_single = _run_loki(tmp_path, model_dir, "out_single", False)
+    df_mesh = _run_loki(tmp_path, model_dir, "out_mesh", True)
+
+    assert len(df_mesh) == len(df_single) >= 4
+    # Output order (stateful downstream stages depend on it) and content
+    # must be identical.
+    assert list(df_mesh["object_id"]) == list(df_single["object_id"])
+    for col in df_single.columns:
+        if col in ("process_datetime", "process_id"):
+            continue  # run-timestamp provenance, differs between runs
+        a, b = df_single[col], df_mesh[col]
+        if pd.api.types.is_float_dtype(a):
+            np.testing.assert_allclose(a.to_numpy(), b.to_numpy(), rtol=1e-5, atol=1e-8)
+        else:
+            assert a.tolist() == b.tolist(), col
+
+
+def test_loki_parallel_explicit_mesh(tmp_path, model_dir):
+    df = _run_loki(
+        tmp_path, model_dir, "out_mesh2", {"mesh": {"data": 8}}
+    )
+    assert len(df) >= 4
