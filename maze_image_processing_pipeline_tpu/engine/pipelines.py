@@ -97,18 +97,28 @@ _MEMBERS_KEY = -1
 
 
 class DataParallelPipeline(Pipeline):
-    """Run the enclosed region in N worker threads over a shared input queue.
+    """Run the enclosed region in N worker threads, preserving stream order.
 
-    Output order is not guaranteed across workers. Nodes inside the region are
-    shared between threads and must therefore be thread-compatible; the
-    built-in per-object nodes are.
+    Each object is processed through the region *independently* (the region's
+    nodes are shared between threads and must be thread-compatible; the
+    built-in per-object nodes are). Results carry their input sequence number
+    and are re-emitted in input order through a reordering buffer, so
+    stateful order-dependent downstream stages (Stitch grouping, dedup,
+    HDF5 append — the reference places all three after its
+    ``DataParallelPipeline``, ``predict/pipeline.py:692``) stay correct.
+
+    Set ``preserve_order=False`` to emit in completion order (slightly lower
+    latency when downstream is order-independent).
     """
 
     _SENTINEL = object()
 
-    def __init__(self, executor: int = 2, queue_size: int = 4) -> None:
+    def __init__(
+        self, executor: int = 2, queue_size: int = 4, preserve_order: bool = True
+    ) -> None:
         self.n_workers = int(executor)
         self.queue_size = queue_size
+        self.preserve_order = preserve_order
         super().__init__()
 
     def transform_stream(self, stream: Stream) -> Stream:
@@ -117,6 +127,8 @@ class DataParallelPipeline(Pipeline):
             return
 
         in_q: "queue.Queue" = queue.Queue(maxsize=self.queue_size)
+        # Bounded: workers block here when the consumer is slow, which also
+        # bounds the reordering buffer (≤ in_q + out_q + n_workers items).
         out_q: "queue.Queue" = queue.Queue(maxsize=self.queue_size)
         errors: List[BaseException] = []
         n_workers = self.n_workers
@@ -124,27 +136,27 @@ class DataParallelPipeline(Pipeline):
         def feeder() -> None:
             try:
                 with closing_if_closable(stream):
-                    for obj in stream:
-                        in_q.put(obj)
+                    for seq, obj in enumerate(stream):
+                        in_q.put((seq, obj))
             except BaseException as exc:  # noqa: BLE001
                 errors.append(exc)
             finally:
                 for _ in range(n_workers):
                     in_q.put(self._SENTINEL)
 
-        def in_iter():
-            while True:
-                item = in_q.get()
-                if item is self._SENTINEL:
-                    return
-                yield item
-
         def worker() -> None:
             try:
-                for out in self._chain_children(in_iter()):
-                    out_q.put(out)
-            except BaseException as exc:  # noqa: BLE001
-                errors.append(exc)
+                while True:
+                    item = in_q.get()
+                    if item is self._SENTINEL:
+                        return
+                    seq, obj = item
+                    try:
+                        results = list(self._chain_children(iter([obj])))
+                    except BaseException as exc:  # noqa: BLE001
+                        errors.append(exc)
+                        results = []
+                    out_q.put((seq, results))
             finally:
                 out_q.put(self._SENTINEL)
 
@@ -157,13 +169,24 @@ class DataParallelPipeline(Pipeline):
             t.start()
 
         finished = 0
+        reorder: dict = {}
+        next_seq = 0
         try:
             while finished < n_workers:
                 item = out_q.get()
                 if item is self._SENTINEL:
                     finished += 1
                     continue
-                yield item
+                seq, results = item
+                if self.preserve_order:
+                    reorder[seq] = results
+                    while next_seq in reorder:
+                        yield from reorder.pop(next_seq)
+                        next_seq += 1
+                else:
+                    yield from results
+            for seq in sorted(reorder):  # pragma: no cover - safety drain
+                yield from reorder.pop(seq)
             if errors:
                 raise errors[0]
         finally:

@@ -165,8 +165,10 @@ class TiledPipeline(Pipeline):
             if self.outer.blend_strategy == "linear":
                 w_full = _linear_weight(th, tw)
             else:
-                # flat: overwrite — emulate with ever-increasing weights
-                w_full = np.full((th, tw), float(info.index + 1), dtype=np.float32) ** 4
+                # flat: later tiles overwrite. The weight plane stores the
+                # 1-based index of the pixel's last writer (exact for any
+                # tile count, unlike weight-growth emulations).
+                w_full = np.full((th, tw), float(info.index + 1), dtype=np.float32)
 
             for key, value in obj.values.items():
                 if key in self.tile_keys and key != self.outer.image.id:
@@ -185,15 +187,17 @@ class TiledPipeline(Pipeline):
                         self.weight[key] = np.zeros((H, W), dtype=np.float32)
                     w = w_full[:vh, :vw]
                     v = value_arr[:vh, :vw].astype(np.float32)
-                    wb = w if v.ndim == 2 else w[..., None]
                     if self.outer.blend_strategy == "flat":
+                        # Overwrite raw values where this tile's index beats
+                        # the pixel's previous writer.
                         region_w = self.weight[key][info.y : info.y + vh, info.x : info.x + vw]
                         replace = w > region_w
                         rb = replace if v.ndim == 2 else replace[..., None]
                         acc_region = self.acc[key][info.y : info.y + vh, info.x : info.x + vw]
-                        np.copyto(acc_region, v * wb, where=rb)
+                        np.copyto(acc_region, v, where=rb)
                         np.copyto(region_w, w, where=replace)
                     else:
+                        wb = w if v.ndim == 2 else w[..., None]
                         self.acc[key][info.y : info.y + vh, info.x : info.x + vw] += v * wb
                         self.weight[key][info.y : info.y + vh, info.x : info.x + vw] += w
                     self._dtypes = getattr(self, "_dtypes", {})
@@ -205,9 +209,12 @@ class TiledPipeline(Pipeline):
             out = self.template.copy()
             del out.values[_TILE_INFO_KEY]
             for key, acc in self.acc.items():
-                w = self.weight[key]
-                w_safe = np.where(w > 0, w, 1.0)
-                blended = acc / (w_safe if acc.ndim == 2 else w_safe[..., None])
+                if self.outer.blend_strategy == "flat":
+                    blended = acc  # raw values; unwritten pixels stay 0
+                else:
+                    w = self.weight[key]
+                    w_safe = np.where(w > 0, w, 1.0)
+                    blended = acc / (w_safe if acc.ndim == 2 else w_safe[..., None])
                 dtype = self._dtypes[key]
                 if np.issubdtype(dtype, np.bool_):
                     out.values[key] = blended > 0.5

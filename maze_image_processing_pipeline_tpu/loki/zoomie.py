@@ -161,7 +161,13 @@ class _SimpleMatcher:
 
 
 class _FeatureMatcher(_SimpleMatcher):
-    """Two-stage matcher: cheap pre-score, then ORB/RANSAC feature matching."""
+    """Two-stage matcher: cheap pre-score, then ORB/RANSAC feature matching.
+
+    Feature extraction and pairwise scoring run in a thread pool when
+    ``n_workers > 1`` (the parallel analog of the reference's
+    ProcessPoolExecutor at ``zoomie2.py:196-298``; cv2/scipy release the GIL
+    in the hot native code, so threads avoid the pickling cost of processes).
+    """
 
     def __init__(
         self,
@@ -170,6 +176,7 @@ class _FeatureMatcher(_SimpleMatcher):
         pre_score_fn: Optional[Callable] = None,
         pre_score_thr: Optional[float] = None,
         max_age: int = 1,
+        n_workers: int = 0,
     ):
         self.detector_extractor = detector_extractor or orb_detector_extractor
         self.pre_score_fn = pre_score_fn
@@ -177,6 +184,17 @@ class _FeatureMatcher(_SimpleMatcher):
         self.min_similarity = min_similarity
         self.max_age = max_age
         self._prev: List[_TrackedObject] = []
+        self._pool = None
+        if n_workers > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(n_workers, thread_name_prefix="zoomie")
+
+    def _map(self, fn, items):
+        items = list(items)
+        if self._pool is not None and len(items) > 1:
+            return list(self._pool.map(fn, items))
+        return [fn(it) for it in items]
 
     def match_and_update(self, ids, images, score_args) -> List:
         new_objects = [
@@ -202,24 +220,35 @@ class _FeatureMatcher(_SimpleMatcher):
                     prev_matched.add(i)
                     new_matched.add(j)
 
-        # Stage 2: feature matching for still-unmatched pairs.
-        for i, prev in enumerate(self._prev):
-            if i in prev_matched or prev.description is not None:
-                continue
-            prev.description = self.detector_extractor(prev.img)
-        for j, cur in enumerate(new_objects):
-            if j in new_matched:
-                continue
-            cur.description = self.detector_extractor(cur.img)
+        # Stage 2: feature matching for still-unmatched pairs (parallel).
+        need_prev = [
+            p
+            for i, p in enumerate(self._prev)
+            if i not in prev_matched and p.description is None
+        ]
+        need_new = [c for j, c in enumerate(new_objects) if j not in new_matched]
+        for o, desc in zip(
+            need_prev + need_new,
+            self._map(self.detector_extractor, (o.img for o in need_prev + need_new)),
+        ):
+            o.description = desc
 
+        pairs = [
+            (i, j)
+            for i in range(len(self._prev))
+            if i not in prev_matched
+            for j in range(len(new_objects))
+            if j not in new_matched
+        ]
+        scores = self._map(
+            lambda ij: _feature_match_score(
+                self._prev[ij[0]].description, new_objects[ij[1]].description
+            ),
+            pairs,
+        )
         sim = np.zeros((len(self._prev), len(new_objects)))
-        for i, prev in enumerate(self._prev):
-            if i in prev_matched:
-                continue
-            for j, cur in enumerate(new_objects):
-                if j in new_matched:
-                    continue
-                sim[i, j] = _feature_match_score(prev.description, cur.description)
+        for (i, j), s in zip(pairs, scores):
+            sim[i, j] = s
 
         ii, jj = linear_sum_assignment(sim, maximize=True)
         for i, j in zip(ii, jj):
@@ -289,6 +318,7 @@ class DetectDuplicates(Node):
         min_similarity: float = 0.25,
         detector_extractor: Optional[Callable] = None,
         max_age: int = 1,
+        n_workers: Optional[int] = None,
     ) -> None:
         self.image_id = image_id
         self.image = image
@@ -299,6 +329,7 @@ class DetectDuplicates(Node):
         self.min_similarity = min_similarity
         self.detector_extractor = detector_extractor
         self.max_age = max_age
+        self.n_workers = os.cpu_count() or 1 if n_workers is None else n_workers
         super().__init__()
 
     def transform_stream(self, stream: Stream) -> Stream:
@@ -308,6 +339,7 @@ class DetectDuplicates(Node):
             pre_score_fn=self.score_fn,
             pre_score_thr=self.pre_score_thr,
             max_age=self.max_age,
+            n_workers=self.n_workers,
         )
         with closing_if_closable(stream):
             for _key, substream in stream_groupby(stream, self.groupby):

@@ -133,6 +133,9 @@ class JaxInference(Node):
             return y
 
         self._step = step
+        # In is_batch mode the bucket is learned from the first group so the
+        # tail (partial) BatchedPipeline group pads instead of recompiling.
+        self._seen_batch: Optional[int] = None
         self._sharding = None
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
@@ -148,7 +151,12 @@ class JaxInference(Node):
             images = [np.asarray(self.pre_transform(img)) for img in images]
         x = np.stack(images)
         pad = 0
-        bucket = self.batch_size if (self.batch_size and not self.is_batch) else None
+        if self.is_batch:
+            if self._seen_batch is None:
+                self._seen_batch = n
+            bucket = self._seen_batch if n < self._seen_batch else None
+        else:
+            bucket = self.batch_size or None
         if bucket and n < bucket:
             pad = bucket - n
             x = np.concatenate([x, np.repeat(x[-1:], pad, axis=0)])

@@ -140,6 +140,69 @@ class TestEcotaxaArchives:
             tsv = zf.read("ecotaxa_export.tsv").decode()
         assert "bogus_col" not in tsv
 
+    def test_writer_streams_rows_to_sidecar(self, tmp_path):
+        """Rows are spilled to a crash-safe JSONL sidecar during the stream
+        (bounded memory over a full haul) and folded into the TSV on close."""
+        import json
+
+        archive_fn = str(tmp_path / "big.zip")
+        sidecar_fn = archive_fn + ".rows.jsonl"
+        n = 10_000
+        seen_mid_stream = {}
+
+        def check_mid_stream(x):
+            if x == n // 2:
+                # Mid-stream: sidecar exists and already holds every row so far.
+                with open(sidecar_fn) as f:
+                    rows = [json.loads(line) for line in f]
+                seen_mid_stream["n_rows"] = len(rows)
+                seen_mid_stream["first"] = rows[0]
+            return x
+
+        with Pipeline() as p:
+            i = Unpack(range(n))
+            meta = Call(
+                lambda x: {"object_id": f"o{x:05d}", "object_area": float(x)}, i
+            )
+            EcotaxaWriter(archive_fn, [], meta)
+            Call(check_mid_stream, i)
+        p.run()
+
+        assert seen_mid_stream["n_rows"] >= n // 2 - 1
+        assert seen_mid_stream["first"]["object_id"] == "o00000"
+        # Clean close: sidecar folded into the archive TSV and removed.
+        assert not os.path.exists(sidecar_fn)
+        df = read_tsv(Archive(archive_fn) / "ecotaxa_export.tsv")
+        assert len(df) == n
+        assert df["object_id"].iloc[-1] == f"o{n - 1:05d}"
+        assert df["object_area"].iloc[-1] == float(n - 1)
+
+    def test_writer_mixed_and_missing_columns(self, tmp_path):
+        """Union of columns across rows; missing values blank; numeric
+        columns typed [f], mixed ones [t] (parity with the pandas-based
+        golden behavior)."""
+        archive_fn = str(tmp_path / "mixed.zip")
+        rows = [
+            {"object_id": "a", "object_area": 1.5},
+            {"object_id": "b", "object_extra": "x"},
+            {"object_id": "c", "object_area": 2.0, "object_extra": "y"},
+        ]
+        with Pipeline() as p:
+            i = Unpack(range(3))
+            meta = Call(lambda x: rows[x], i)
+            EcotaxaWriter(archive_fn, [], meta)
+        p.run()
+        with zipfile.ZipFile(archive_fn) as zf:
+            tsv = zf.read("ecotaxa_export.tsv").decode().splitlines()
+        header = tsv[0].split("\t")
+        types = dict(zip(header, tsv[1].split("\t")))
+        assert types["object_id"] == "[t]"
+        assert types["object_area"] == "[f]"
+        assert types["object_extra"] == "[t]"
+        df = read_tsv(Archive(archive_fn) / "ecotaxa_export.tsv")
+        assert df["object_id"].tolist() == ["a", "b", "c"]
+        assert np.isnan(df["object_area"].iloc[1])
+
     def test_meta_only_archive(self, tmp_path):
         archive_fn = str(tmp_path / "meta.zip")
         with Pipeline() as p:

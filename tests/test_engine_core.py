@@ -123,6 +123,52 @@ def test_data_parallel_pipeline():
     assert sorted(o[out] for o in objs) == [x * x for x in range(20)]
 
 
+def test_data_parallel_pipeline_preserves_order():
+    """Stream order must survive uneven per-object latencies (the contract
+    that makes Stitch/dedup/HDF5-append safe downstream)."""
+    import time
+
+    def jittery(x):
+        time.sleep(0.02 if x % 5 == 0 else 0.001)
+        return x * x
+
+    with Pipeline() as p:
+        item = Unpack(range(40))
+        with DataParallelPipeline(executor=4):
+            out = Call(jittery, item)
+
+    objs = run_collect(p)
+    assert [o[out] for o in objs] == [x * x for x in range(40)]
+
+
+def test_data_parallel_pipeline_order_into_hdf5(tmp_path):
+    """n_workers>1 feeding HDF5Writer(append) keeps row order aligned."""
+    import time
+
+    import h5py
+
+    from maze_image_processing_pipeline_tpu.dataio import HDF5Writer
+
+    fn = str(tmp_path / "out.h5")
+
+    def jittery(x):
+        time.sleep(0.015 if x % 3 == 0 else 0.001)
+        return float(x) * 2
+
+    with Pipeline() as p:
+        item = Unpack(range(24))
+        with DataParallelPipeline(executor=4):
+            val = Call(jittery, item)
+        HDF5Writer(fn, [("idx", item), ("val", val)], dataset_mode="append")
+
+    run_collect(p)
+    with h5py.File(fn) as f:
+        idx = f["idx"][:]
+        val = f["val"][:]
+    assert list(idx) == list(range(24))
+    assert list(val) == [2.0 * x for x in range(24)]
+
+
 def test_merge_nodes_pipeline_absorbs_errors():
     errors = []
 
@@ -229,6 +275,23 @@ class TestTiledPipeline:
 
         objs = run_collect(p)
         assert shapes == [(128, 128)]
+        np.testing.assert_array_equal(objs[0][img_var], image)
+
+    def test_flat_blend_exact_with_many_tiles(self, rng):
+        """Flat (overwrite) reassembly must be exact for frames with many
+        tiles — the previous (index+1)**4 weight emulation lost float32
+        precision past a few dozen tiles."""
+        image = rng.integers(0, 255, (200, 210), dtype=np.uint8)
+
+        with Pipeline() as p:
+            img_var = Unpack([image])
+            # 20x21 grid = 420 tiles; (421)**4 ≈ 3e10 would have eaten the
+            # low bits of weighted values.
+            with TiledPipeline((10, 10), img_var, blend_strategy="flat"):
+                out = Call(lambda t: t.astype(np.float32), img_var)
+
+        objs = run_collect(p)
+        np.testing.assert_array_equal(objs[0][out], image.astype(np.float32))
         np.testing.assert_array_equal(objs[0][img_var], image)
 
     def test_dropped_tiles_fill_zero(self):

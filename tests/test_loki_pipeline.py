@@ -155,6 +155,39 @@ class TestDedup:
         assert result["b"] == "a"
         assert result["c"] == "c"
 
+    def test_orb_duplicates_parallel_matches_serial(self, rng):
+        """Thread-pooled feature scoring (n_workers>1) must give the same
+        dupsets as serial scoring."""
+        from fixtures import draw_blob
+
+        frames = []
+        for f in range(4):
+            crop = draw_blob(rng, shape=(80, 100), r=18)
+            texture = (rng.random(crop.shape) * 120).astype(np.uint8)
+            crop = np.where(crop > 100, texture + 100, crop).astype(np.uint8)
+            frames.append(crop)
+
+        objects = []
+        for f, crop in enumerate(frames):
+            objects.append({"frame": f"f{f}", "id": f"o{f}a", "img": crop})
+            objects.append(
+                {"frame": f"f{f}", "id": f"o{f}b", "img": np.roll(crop, 3, axis=0)}
+            )
+
+        def run(n_workers):
+            with Pipeline() as p:
+                item = Unpack(objects)
+                frame = Call(lambda o: o["frame"], item)
+                oid = Call(lambda o: o["id"], item)
+                img = Call(lambda o: o["img"], item)
+                dupset = DetectDuplicates(
+                    oid, img, frame, min_similarity=0.3, max_age=1,
+                    n_workers=n_workers,
+                )
+            return {o[oid]: o[dupset] for o in p.run()}
+
+        assert run(4) == run(1)
+
 
 class TestMergeAnnotations:
     def test_merge(self):

@@ -108,6 +108,25 @@ class TestJaxInference:
         assert len(objs) == 5
         assert objs[0][pred].shape == (64, 64, 2)
 
+    def test_is_batch_tail_pads_instead_of_recompiling(self, tiny_unet, rng):
+        """The last partial BatchedPipeline group must pad to the learned
+        bucket size, not introduce a new compiled shape."""
+        images = [(rng.random((32, 32)) * 255).astype(np.uint8) for _ in range(7)]
+        shapes_seen = []
+
+        with Pipeline() as p:
+            img = Unpack(images)
+            with BatchedPipeline(4):
+                pred = JaxInference(tiny_unet, img, is_batch=True)
+                node = pred.node
+                inner_step = node._step
+                node._step = lambda x: shapes_seen.append(x.shape) or inner_step(x)
+
+        objs = p.run()
+        assert len(objs) == 7
+        # Two dispatches (4 + 3→padded to 4), one shape.
+        assert shapes_seen == [(4, 32, 32), (4, 32, 32)]
+
 
 class TestTraining:
     def test_train_step_reduces_loss(self):
