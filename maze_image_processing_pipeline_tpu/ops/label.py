@@ -47,6 +47,13 @@ def _segmented_min_scan(values: jnp.ndarray, resets: jnp.ndarray, axis: int, rev
 
 
 def _horizontal_pass(lab: jnp.ndarray, fg: jnp.ndarray) -> jnp.ndarray:
+    if jax.default_backend() == "tpu" and lab.shape[-1] % 128 == 0:
+        # Lane-scan via Pallas: associative_scan composed with the morphology
+        # producers hits an XLA layout pathology (~26-33 ms/pass on v5e vs
+        # ~1 ms isolated); the Pallas kernel pins the layout (BASELINE.md).
+        from .pallas_scan import hpass_pallas
+
+        return hpass_pallas(lab, fg)
     resets = ~fg
     axis = lab.ndim - 1
     lab = _segmented_min_scan(lab, resets, axis, reverse=False)
@@ -189,7 +196,12 @@ def label(
     # log-depth scan within rows plus a scan of per-row totals.)
     is_root = fg & (lab == lin + 1)
     root_i = is_root.astype(jnp.int32)
-    within_row = jax.lax.associative_scan(jnp.add, root_i, axis=2)
+    if jax.default_backend() == "tpu" and W % 128 == 0:
+        from .pallas_scan import cumsum_lanes_pallas
+
+        within_row = cumsum_lanes_pallas(root_i)
+    else:
+        within_row = jax.lax.associative_scan(jnp.add, root_i, axis=2)
     row_counts = within_row[..., -1]  # (B, H)
     row_prefix_incl = jax.lax.associative_scan(jnp.add, row_counts, axis=1)
     row_offset = row_prefix_incl - row_counts

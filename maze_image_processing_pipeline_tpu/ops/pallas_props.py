@@ -3,31 +3,40 @@
 XLA lowers the one-hot reductions of :mod:`.regionprops_fused` as separate
 passes over the label image (measured ~70 ms per masked reduce at R=256 on
 v5e — it re-materializes the broadcast each time). This kernel makes the
-whole measurement **two passes over HBM**:
+whole measurement **one pass over HBM** (round 1 used two; the second pass
+is eliminated analytically):
 
-* **Pass 1** (one grid sweep over row-tiles): builds the label one-hot once
-  per (8, W) tile in VMEM and feeds it to
+* One grid sweep over row-strips builds the label one-hot once per
+  ``(TH, W)`` strip in VMEM and feeds it to
+
   - an MXU contraction against the feature planes
     ``[1, perimeter, I, I·y, I·x]`` accumulated into a VMEM ``(R, F)``
     block,
-  - per-row / per-column presence counts (bounding boxes + exact separable
-    second moments),
+  - per-row presence counts *and per-row x-sums* (bounding boxes, exact
+    separable second moments μ20/μ02 **and μ11**),
+  - per-column presence counts,
   - a bf16 MXU contraction against the intensity-bin one-hot for the
     per-region 256-bin histograms.
-* **Pass 2** (after centroids/means are derived): per-pixel centroid/mean
-  *gathers are themselves MXU products* (``onehot @ [cy, cx, mean]``),
-  feeding the cancellation-safe central moments ``mu11`` and the intensity
-  moments m2/m3/m4.
 
-Accumulator blocks are revisited across the row-tile grid dimension (the
+* The former pass 2 (cancellation-safe central moments) is replaced by
+  exact closed forms computed from the strip outputs:
+
+  - ``mu11 = Σ_h (h - cy)·(rowsumx[h] - cx·rowcnt[h])`` — separable and
+    cancellation-safe (each term is an exact ≤2^20 f32 integer sum),
+  - intensity central moments m2/m3/m4 from the 256-bin histogram, which
+    is **exact** because intensities are integer bins:
+    ``m_k = Σ_b hist[b]·(b - mean)^k / area``.
+
+Accumulator blocks are revisited across the row-strip grid dimension (the
 standard Pallas reduction pattern: zero at ``h == 0``, accumulate after),
-so nothing but the inputs ever leaves VMEM during a pass.
+so nothing but the inputs ever leaves VMEM during the sweep. Strips without
+foreground skip all heavy work (plankton frames are sparse).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
@@ -39,7 +48,9 @@ from .regionprops_fused import _per_pixel_perimeter
 __all__ = ["regionprops_fused_pallas"]
 
 
-def _pass1_kernel(lab_ref, img_ref, perim_ref, moments_ref, rowcnt_ref, colcnt_ref, hist_ref):
+def _pass1_kernel(
+    lab_ref, img_ref, perim_ref, moments_ref, rowcnt_ref, rowsumx_ref, colcnt_ref, hist_ref
+):
     h = pl.program_id(1)
     TH, W = lab_ref.shape[1:]
     R = moments_ref.shape[1]
@@ -60,6 +71,7 @@ def _pass1_kernel(lab_ref, img_ref, perim_ref, moments_ref, rowcnt_ref, colcnt_r
     @pl.when(jnp.logical_not(has_fg))
     def _():
         rowcnt_ref[:] = jnp.zeros_like(rowcnt_ref)
+        rowsumx_ref[:] = jnp.zeros_like(rowsumx_ref)
 
     @pl.when(has_fg)
     def _():
@@ -93,6 +105,7 @@ def _pass1_kernel(lab_ref, img_ref, perim_ref, moments_ref, rowcnt_ref, colcnt_r
 
         moments_ref[0] += m.T
         rowcnt_ref[0] = jnp.sum(onehot, axis=1)  # (TH, R)
+        rowsumx_ref[0] = jnp.sum(onehot * xx[..., None], axis=1)  # (TH, R)
         colcnt_ref[0] += jnp.sum(onehot, axis=0)  # (W, R)
 
         # Histogram: bf16 MXU contraction of label-onehot vs intensity-bin
@@ -114,62 +127,6 @@ def _pass1_kernel(lab_ref, img_ref, perim_ref, moments_ref, rowcnt_ref, colcnt_r
             hist_ref[0, :, c0 : c0 + BIN_CHUNK] += hh
 
 
-def _pass2_kernel(lab_ref, img_ref, centers_ref, out_ref):
-    h = pl.program_id(1)
-    TH, W = lab_ref.shape[1:]
-    R = centers_ref.shape[1]
-
-    lab = lab_ref[0]
-
-    @pl.when(h == 0)
-    def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
-
-    has_fg = jnp.any(lab > 0)
-
-    @pl.when(has_fg)
-    def _():
-        r_ids = jax.lax.broadcasted_iota(jnp.int32, (TH, W, R), 2)
-        onehot = (lab[..., None] == r_ids).astype(jnp.float32)
-        oh2 = onehot.reshape(TH * W, R)
-
-        # Gather per-pixel (cy, cx, mean) as one MXU product, oriented so
-        # the 3-wide center count sits on M, not the 128-lane N dimension:
-        # (3, P) = centersᵀ(3, R) @ onehotᵀ(R, P).
-        centers = centers_ref[0]  # (R, 3)
-        px = jax.lax.dot_general(
-            centers,
-            oh2,
-            dimension_numbers=(((0,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        ).reshape(3, TH, W)
-
-        img = img_ref[0].astype(jnp.float32)
-        yy = (
-            jax.lax.broadcasted_iota(jnp.int32, (TH, W), 0).astype(jnp.float32)
-            + (h * TH).astype(jnp.float32)
-        )
-        xx = jax.lax.broadcasted_iota(jnp.int32, (TH, W), 1).astype(jnp.float32)
-
-        dy = yy - px[0]
-        dx = xx - px[1]
-        di = img - px[2]
-        feats = jnp.stack(
-            [dy * dx, di * di, di * di * di, di * di * di * di], axis=-1
-        )
-
-        m = jax.lax.dot_general(
-            feats.reshape(TH * W, 4),
-            oh2,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-
-        out_ref[0] += m.T
-
-
 @functools.partial(
     jax.jit,
     static_argnames=("num_segments", "compute_histogram", "interpret", "tile_rows"),
@@ -181,13 +138,13 @@ def regionprops_fused_pallas(
     num_segments: int,
     compute_histogram: bool = True,
     interpret: bool = False,
-    tile_rows: int = 16,
+    tile_rows: int = 8,
 ) -> Dict[str, jnp.ndarray]:
     """Pallas single-pass fused region measurement (TPU hot path).
 
     Same contract as :func:`.regionprops_fused.regionprops_fused` with
-    intensity required. ``interpret=True`` runs the kernels in interpreter
-    mode (CPU testing).
+    intensity required (integer-valued in [0, 256)). ``interpret=True`` runs
+    the kernel in interpreter mode (CPU testing).
     """
     batch_shape = labels.shape[:-2]
     H, W = labels.shape[-2:]
@@ -208,22 +165,25 @@ def regionprops_fused_pallas(
     F = 5
     grid = (B, n_h)
     row_block = pl.BlockSpec((1, _TH, W), lambda b, h: (b, h, 0), memory_space=pltpu.VMEM)
+    strip_out = pl.BlockSpec((1, _TH, R), lambda b, h: (b, h, 0), memory_space=pltpu.VMEM)
     acc_spec = lambda shape: pl.BlockSpec(  # noqa: E731
         (1,) + shape, lambda b, h: (b,) + (0,) * len(shape), memory_space=pltpu.VMEM
     )
 
-    moments, rowcnt, colcnt, hist = pl.pallas_call(
+    moments, rowcnt, rowsumx, colcnt, hist = pl.pallas_call(
         _pass1_kernel,
         grid=grid,
         in_specs=[row_block, row_block, row_block],
         out_specs=(
             acc_spec((R, F)),
-            pl.BlockSpec((1, _TH, R), lambda b, h: (b, h, 0), memory_space=pltpu.VMEM),
+            strip_out,
+            strip_out,
             acc_spec((W, R)),
             acc_spec((R, 256)),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B, R, F), jnp.float32),
+            jax.ShapeDtypeStruct((B, H_pad, R), jnp.float32),
             jax.ShapeDtypeStruct((B, H_pad, R), jnp.float32),
             jax.ShapeDtypeStruct((B, W, R), jnp.float32),
             jax.ShapeDtypeStruct((B, R, 256), jnp.float32),
@@ -235,6 +195,7 @@ def regionprops_fused_pallas(
     )(lab, img, perim_px)
 
     rowcnt = rowcnt[:, :H]
+    rowsumx = rowsumx[:, :H]
 
     area = moments[..., 0]
     safe_area = jnp.maximum(area, 1.0)
@@ -252,6 +213,10 @@ def regionprops_fused_pallas(
     cx = sum_x / safe_area
     mu20 = jnp.sum(rowcnt * (hh - cy[:, None, :]) ** 2, axis=1)
     mu02 = jnp.sum(colcnt * (ww - cx[:, None, :]) ** 2, axis=1)
+    # μ11 separably: Σ_h (h - cy)·(Σ_{x∈row h} x  -  cx·rowcnt[h]).
+    mu11 = jnp.sum(
+        (hh - cy[:, None, :]) * (rowsumx - cx[:, None, :] * rowcnt), axis=1
+    )
 
     row_present = rowcnt > 0
     col_present = colcnt > 0
@@ -260,29 +225,15 @@ def regionprops_fused_pallas(
     min_col = jnp.min(jnp.where(col_present, ww, jnp.float32(W + 1)), axis=1)
     max_col = jnp.max(jnp.where(col_present, ww, -1.0), axis=1) + 1
 
-    # Pass 2: cancellation-safe central moments.
-    centers = jnp.stack([cy, cx, mean], axis=-1)  # (B, R, 3)
-    out2 = pl.pallas_call(
-        _pass2_kernel,
-        grid=grid,
-        in_specs=[
-            row_block,
-            row_block,
-            pl.BlockSpec((1, R, 3), lambda b, h: (b, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=acc_spec((R, 4)),
-        out_shape=jax.ShapeDtypeStruct((B, R, 4), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024
-        ),
-        interpret=interpret,
-    )(lab, img, centers)
-
-    mu11 = out2[..., 0]
-    var = jnp.maximum(out2[..., 1] / safe_area, 0.0)
+    # Intensity central moments from the histogram — exact because the
+    # intensities are integer bins.
+    bin_range = jnp.arange(256, dtype=jnp.float32)
+    d = bin_range[None, None, :] - mean[..., None]  # (B, R, 256)
+    hd2 = hist * d * d
+    var = jnp.maximum(jnp.sum(hd2, axis=-1) / safe_area, 0.0)
     std = jnp.sqrt(var)
-    m3 = out2[..., 2] / safe_area
-    m4 = out2[..., 3] / safe_area
+    m3 = jnp.sum(hd2 * d, axis=-1) / safe_area
+    m4 = jnp.sum(hd2 * d * d, axis=-1) / safe_area
     # Guard: std**3/std**4 underflow f32 for (near-)constant regions.
     ok = std > 1e-3
     std_safe = jnp.where(ok, std, 1.0)
@@ -294,7 +245,6 @@ def regionprops_fused_pallas(
     lam1 = (m20 + m02 + common) / 2
     lam2 = (m20 + m02 - common) / 2
 
-    bin_range = jnp.arange(256, dtype=jnp.float32)
     present = hist > 0
     props: Dict[str, jnp.ndarray] = {
         "area": area,
