@@ -43,13 +43,22 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .regionprops_fused import _per_pixel_perimeter
+from .regionprops_fused import _per_pixel_perimeter, feret_from_row_extremes
 
 __all__ = ["regionprops_fused_pallas"]
 
 
 def _pass1_kernel(
-    lab_ref, img_ref, perim_ref, moments_ref, rowcnt_ref, rowsumx_ref, colcnt_ref, hist_ref
+    lab_ref,
+    img_ref,
+    perim_ref,
+    moments_ref,
+    rowcnt_ref,
+    rowsumx_ref,
+    rowminx_ref,
+    rowmaxx_ref,
+    colcnt_ref,
+    hist_ref,
 ):
     h = pl.program_id(1)
     TH, W = lab_ref.shape[1:]
@@ -72,11 +81,14 @@ def _pass1_kernel(
     def _():
         rowcnt_ref[:] = jnp.zeros_like(rowcnt_ref)
         rowsumx_ref[:] = jnp.zeros_like(rowsumx_ref)
+        rowminx_ref[:] = jnp.full_like(rowminx_ref, 1e9)
+        rowmaxx_ref[:] = jnp.full_like(rowmaxx_ref, -1e9)
 
     @pl.when(has_fg)
     def _():
         r_ids = jax.lax.broadcasted_iota(jnp.int32, (TH, W, R), 2)
-        onehot = (lab[..., None] == r_ids).astype(jnp.float32)  # (TH, W, R)
+        ohb = lab[..., None] == r_ids  # (TH, W, R) bool
+        onehot = ohb.astype(jnp.float32)
 
         img = img_ref[0].astype(jnp.float32)
         perim = perim_ref[0]
@@ -106,6 +118,9 @@ def _pass1_kernel(
         moments_ref[0] += m.T
         rowcnt_ref[0] = jnp.sum(onehot, axis=1)  # (TH, R)
         rowsumx_ref[0] = jnp.sum(onehot * xx[..., None], axis=1)  # (TH, R)
+        xr = xx[..., None]
+        rowminx_ref[0] = jnp.min(jnp.where(ohb, xr, jnp.float32(1e9)), axis=1)
+        rowmaxx_ref[0] = jnp.max(jnp.where(ohb, xr, jnp.float32(-1e9)), axis=1)
         colcnt_ref[0] += jnp.sum(onehot, axis=0)  # (W, R)
 
         # Histogram: bf16 MXU contraction of label-onehot vs intensity-bin
@@ -129,7 +144,13 @@ def _pass1_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_segments", "compute_histogram", "interpret", "tile_rows"),
+    static_argnames=(
+        "num_segments",
+        "compute_histogram",
+        "interpret",
+        "tile_rows",
+        "n_feret_angles",
+    ),
 )
 def regionprops_fused_pallas(
     labels: jnp.ndarray,
@@ -139,6 +160,7 @@ def regionprops_fused_pallas(
     compute_histogram: bool = True,
     interpret: bool = False,
     tile_rows: int = 8,
+    n_feret_angles: int = 16,
 ) -> Dict[str, jnp.ndarray]:
     """Pallas single-pass fused region measurement (TPU hot path).
 
@@ -170,7 +192,7 @@ def regionprops_fused_pallas(
         (1,) + shape, lambda b, h: (b,) + (0,) * len(shape), memory_space=pltpu.VMEM
     )
 
-    moments, rowcnt, rowsumx, colcnt, hist = pl.pallas_call(
+    moments, rowcnt, rowsumx, rowminx, rowmaxx, colcnt, hist = pl.pallas_call(
         _pass1_kernel,
         grid=grid,
         in_specs=[row_block, row_block, row_block],
@@ -178,11 +200,15 @@ def regionprops_fused_pallas(
             acc_spec((R, F)),
             strip_out,
             strip_out,
+            strip_out,
+            strip_out,
             acc_spec((W, R)),
             acc_spec((R, 256)),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B, R, F), jnp.float32),
+            jax.ShapeDtypeStruct((B, H_pad, R), jnp.float32),
+            jax.ShapeDtypeStruct((B, H_pad, R), jnp.float32),
             jax.ShapeDtypeStruct((B, H_pad, R), jnp.float32),
             jax.ShapeDtypeStruct((B, H_pad, R), jnp.float32),
             jax.ShapeDtypeStruct((B, W, R), jnp.float32),
@@ -196,6 +222,8 @@ def regionprops_fused_pallas(
 
     rowcnt = rowcnt[:, :H]
     rowsumx = rowsumx[:, :H]
+    rowminx = rowminx[:, :H]
+    rowmaxx = rowmaxx[:, :H]
 
     area = moments[..., 0]
     safe_area = jnp.maximum(area, 1.0)
@@ -264,6 +292,9 @@ def regionprops_fused_pallas(
             jnp.maximum(1.0 - lam2 / jnp.maximum(lam1, 1e-12), 0.0)
         ),
         "perimeter": perim,
+        "feret_diameter_max": feret_from_row_extremes(
+            rowminx, rowmaxx, row_present, n_angles=n_feret_angles
+        ),
         "intensity_sum": s1,
         "intensity_mean": mean,
         "intensity_std": std,

@@ -89,6 +89,41 @@ class TestZooProcessFeatures:
         assert f["object_y"] == pytest.approx(32 - 2, abs=0.1)
         assert f["object_%area"] == 0.0
 
+    def test_fused_device_path_feret_parity(self):
+        """The fused (hot) device path now carries true feret: ZooProcess
+        features computed from ``regionprops_fused`` must match the K-angle
+        oracle of ``regionprops`` — no major-axis fallback (the reference
+        uses skimage feret at loki/pipeline.py:625)."""
+        from maze_image_processing_pipeline_tpu.ops.regionprops_fused import (
+            regionprops_fused,
+        )
+
+        mask = np.zeros((96, 96), bool)
+        # Diagonal bar: feret (diagonal length) differs from the ellipse
+        # major axis, so a fallback would be caught.
+        for i in range(60):
+            mask[10 + i // 2, 10 + i] = True
+        mask = np.asarray(
+            np.logical_or(mask, np.roll(mask, 1, axis=0))
+        )
+        intensity = np.where(mask, 120, 0).astype(np.uint8)
+        lab, n = label_mod.label(mask)
+        oracle = rp.regionprops(
+            lab, intensity, num_segments=8, n_feret_angles=16, compute_histogram=True
+        )
+        fused = regionprops_fused(lab, intensity, num_segments=8, n_feret_angles=16)
+        np.testing.assert_allclose(
+            np.asarray(fused["feret_diameter_max"])[1],
+            np.asarray(oracle["feret_diameter_max"])[1],
+            rtol=1e-5,
+        )
+        f = zooprocess_features(fused, 1, prefix="object_")
+        assert f["object_feret"] == pytest.approx(
+            float(np.asarray(oracle["feret_diameter_max"])[1]), rel=1e-5
+        )
+        major = float(np.asarray(oracle["axis_major_length"])[1])
+        assert abs(f["object_feret"] - major) > 1.0  # fallback would match major
+
     def test_area_exc_vs_filled(self):
         # Ring: filled area includes the hole.
         yy, xx = np.mgrid[-16:16, -16:16]

@@ -40,6 +40,10 @@ def test_fused_matches_reference_regionprops(rng):
             "intensity_sum",
             "weighted_centroid_row",
             "weighted_centroid_col",
+            # Row-extreme caliper sweep is mathematically identical to the
+            # full-pixel sweep of ops/regionprops.py (see
+            # feret_from_row_extremes docstring) — tight tolerance.
+            "feret_diameter_max",
         ]:
             a = np.asarray(ref[key])[b, sl]
             o = np.asarray(fused[key])[b, sl]
