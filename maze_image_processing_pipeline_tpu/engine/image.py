@@ -38,6 +38,7 @@ __all__ = [
     "FindRegions",
     "ExtractROI",
     "ImageProperties",
+    "BatchedImageProperties",
     "CalculateZooProcessFeatures",
     "DrawScalebar",
     "FilterEval",
@@ -292,6 +293,108 @@ class ImageProperties(Node):
 
     def _input_names(self):
         return ("mask", "image")
+
+
+@ReturnOutputs
+@Output("props")
+class BatchedImageProperties(Node):
+    """Device-batched :class:`ImageProperties` for threshold crops.
+
+    The reference measures each crop on the host, one object at a time
+    (``loki/pipeline.py:648-656``). This node collects up to ``chunk_size``
+    consecutive stream objects, groups their crops into power-of-two padded
+    shape/count buckets, measures each bucket in ONE jitted device program
+    (:func:`..ops.threshold_props.threshold_measure` — fused single-region
+    props + exact CCL-based filled area), and re-emits the chunk in arrival
+    order, so stateful downstream stages (dedup, writers) stay safe.
+
+    Crops the device contract cannot take (non-2D, non-uint8, non-positive
+    threshold, or >= ``n_bg_segments`` background components) fall back to
+    the host path per crop; the output structure is identical to
+    :class:`ImageProperties` either way.
+    """
+
+    def __init__(
+        self,
+        image: RawOrVariable[np.ndarray],
+        threshold: float,
+        chunk_size: int = 256,
+        n_bg_segments: int = 64,
+    ) -> None:
+        self.image = image
+        self.threshold = threshold
+        self.chunk_size = chunk_size
+        self.n_bg_segments = n_bg_segments
+        super().__init__()
+
+    def transform_stream(self, stream: Stream) -> Stream:
+        with closing_if_closable(stream):
+            pending = []
+            for obj in stream:
+                pending.append(obj)
+                if len(pending) >= self.chunk_size:
+                    yield from self._flush(pending)
+                    pending = []
+            if pending:
+                yield from self._flush(pending)
+
+    def _host(self, img: np.ndarray) -> Dict[str, Any]:
+        mask = np.asarray(img) > self.threshold
+        props = {
+            k: (v[1] if getattr(v, "ndim", 0) == 1 else v[1])
+            for k, v in host_region_props(mask, np.asarray(img)).items()
+        }
+        filled = ndi.binary_fill_holes(mask)
+        return {"__props__": props, "__area_filled__": float(filled.sum())}
+
+    def _flush(self, objs):
+        import jax.numpy as jnp
+
+        from ..ops.threshold_props import threshold_measure
+
+        imgs = [np.asarray(self.prepare_input(obj, "image")) for obj in objs]
+        results: list = [None] * len(objs)
+
+        buckets: Dict[tuple, list] = {}
+        device_ok = self.threshold >= 0
+        for i, im in enumerate(imgs):
+            if not (device_ok and im.ndim == 2 and im.dtype == np.uint8):
+                results[i] = self._host(im)
+                continue
+            hb = max(8, 1 << int(im.shape[0] - 1).bit_length())
+            wb = max(128, 1 << int(im.shape[1] - 1).bit_length())
+            buckets.setdefault((hb, wb), []).append(i)
+
+        for (hb, wb), idxs in buckets.items():
+            nb = max(8, 1 << int(len(idxs) - 1).bit_length())
+            batch = np.zeros((nb, hb, wb), np.uint8)
+            for j, i in enumerate(idxs):
+                h, w = imgs[i].shape
+                batch[j, :h, :w] = imgs[i]
+            props, filled, n_bg = threshold_measure(
+                jnp.asarray(batch),
+                float(self.threshold),
+                n_bg_segments=self.n_bg_segments,
+            )
+            props = {k: np.asarray(v) for k, v in props.items()}
+            filled = np.asarray(filled)
+            n_bg = np.asarray(n_bg)
+            for j, i in enumerate(idxs):
+                if int(n_bg[j]) >= self.n_bg_segments:
+                    results[i] = self._host(imgs[i])
+                    continue
+                results[i] = {
+                    "__props__": {k: v[j] for k, v in props.items()},
+                    "__area_filled__": float(filled[j]),
+                }
+
+        out_var = self.output_vars[0]
+        for obj, res in zip(objs, results):
+            obj[out_var] = res
+            yield obj
+
+    def _input_names(self):
+        return ("image",)
 
 
 @ReturnOutputs

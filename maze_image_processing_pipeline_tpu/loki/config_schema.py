@@ -49,6 +49,18 @@ class ThresholdSegmentationConfig(DefaultModel):
     threshold_brighter: float = Field(
         ..., description="Extract objects brighter than this threshold."
     )
+    device: bool = Field(
+        True,
+        description=(
+            "Measure crops batched on the accelerator (fused single-region "
+            "props + exact filled area); false = per-crop host path."
+        ),
+    )
+    device_chunk_size: int = Field(
+        256,
+        description="Consecutive crops measured per device batch.",
+        json_schema_extra={"debug": True},
+    )
 
 
 class StitchConfig(TrueToDefaultsModel):

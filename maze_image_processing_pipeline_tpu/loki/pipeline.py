@@ -54,6 +54,7 @@ from ..engine import (
     Variable,
 )
 from ..engine.image import (
+    BatchedImageProperties,
     CalculateZooProcessFeatures,
     DrawScalebar,
     ExtractROI,
@@ -309,13 +310,25 @@ def build_input(
 
 
 def build_threshold_segmentation(config: ThresholdSegmentationConfig, image, meta):
-    """Brightness-threshold segmentation of individual crops (host path)."""
+    """Brightness-threshold segmentation of individual crops.
+
+    Reference parity: ``loki/pipeline.py:648-656`` (mask → any() filter →
+    ImageProperties → ZooProcess). By default the measurement runs batched
+    on device (:class:`BatchedImageProperties`); ``device: false`` selects
+    the reference's per-crop host path.
+    """
     mask = Call(
         lambda img: np.asarray(img) > config.threshold_brighter,
         image,
     )
-    Filter(Call(lambda m: bool(m.any()), mask))
-    props = ImageProperties(mask, image)
+    if config.device:
+        props = BatchedImageProperties(
+            image, config.threshold_brighter, chunk_size=config.device_chunk_size
+        )
+        Filter(Call(lambda p: p["__props__"]["area"] > 0, props))
+    else:
+        Filter(Call(lambda m: bool(m.any()), mask))
+        props = ImageProperties(mask, image)
     meta = CalculateZooProcessFeatures(props, meta, prefix="object_")
     return image, meta, mask
 
