@@ -28,6 +28,24 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+# Fast tier: `pytest -m "not slow"` skips the heavyweight end-to-end /
+# interpreter-mode modules (~80% of suite wall time on this 1-core host).
+_SLOW_MODULES = {
+    "test_parallel_e2e",
+    "test_loki_jax_segmentation",
+    "test_full_haul_e2e",
+    "test_threshold_device",
+    "test_train_loop",
+    "test_pallas_props",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.module.__name__ in _SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)

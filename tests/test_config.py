@@ -53,3 +53,22 @@ def test_generate_yaml_example_requires_description():
 
     with pytest.raises(ValueError):
         generate_yaml_example(Bad)
+
+
+def test_docs_generated_config_in_sync():
+    """docs/*.md embed the `maze-ipp config` output (the reference embeds
+    it at doc build time, docs/loki.rst:30); the embedded blocks must match
+    the current schemas."""
+    import importlib.util
+    import pathlib
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    spec = importlib.util.spec_from_file_location(
+        "build_docs", repo / "tools" / "build_docs.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    for page in ("loki.md", "predict.md"):
+        text = (repo / "docs" / page).read_text()
+        assert "BEGIN GENERATED CONFIG" in text, page
+        assert mod.render(text) == text, f"{page} stale: run tools/build_docs.py"

@@ -1,0 +1,228 @@
+#!/usr/bin/env python
+"""End-to-end haul benchmark: loki(U-Net) → semseg → polytaxo (config #5).
+
+Measures BASELINE.json's north-star path — a full synthetic LOKI haul
+re-segmented with a real-capacity U-Net (base 32, depth 4; the reference's
+accelerator node, ``/root/reference/maze_ipp/loki/pipeline.py:529-537``),
+then semantic segmentation + polyhierarchical classification over the
+produced EcoTaxa archive (``predict/pipeline.py:583-681``), with all host
+I/O (decode, stitch, crop, zip export) included. Prints ONE JSON line with
+per-stage seconds and end-to-end objects/sec.
+
+The segmentation U-Nets are distilled for a few hundred steps to emit
+brightness-threshold masks, so the object stream has realistic density
+(random-init nets mask everything or nothing). Distilled checkpoints are
+cached under --model-dir.
+
+Usage:
+    python tools/bench_e2e.py [--frames 24] [--platform cpu] \
+        [--model-dir /tmp/bench_e2e_models] [--workdir /tmp/bench_e2e]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pathlib
+import shutil
+import sys
+import time
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "tests"))
+
+
+def parse_args():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=24)
+    ap.add_argument("--objects-per-frame", type=int, default=20)
+    ap.add_argument("--platform", default=None, help="cpu to force CPU backend")
+    ap.add_argument("--model-dir", default="/tmp/bench_e2e_models")
+    ap.add_argument("--workdir", default="/tmp/bench_e2e")
+    ap.add_argument("--distill-steps", type=int, default=200)
+    return ap.parse_args()
+
+
+def ensure_models(model_dir: str, distill_steps: int):
+    """Distill threshold-mimicking U-Nets + a real-size classifier."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from maze_image_processing_pipeline_tpu.models import (
+        ConvClassifier,
+        UNet,
+        save_model,
+    )
+    from maze_image_processing_pipeline_tpu.models.train_loop import fit
+
+    loki_unet = os.path.join(model_dir, "loki-unet")
+    semseg_unet = os.path.join(model_dir, "semseg-unet")
+    clf_dir = os.path.join(model_dir, "polytaxo-cnn")
+    if all(os.path.isdir(d) for d in (loki_unet, semseg_unet, clf_dir)):
+        return loki_unet, semseg_unet, clf_dir
+
+    rng = np.random.default_rng(0)
+
+    def batches(n_out):
+        while True:
+            x = (rng.random((8, 128, 128, 3)) * 90).astype(np.float32)
+            yy, xx = np.mgrid[0:128, 0:128]
+            for i in range(8):
+                for _ in range(4):
+                    cy, cx = rng.integers(10, 118, 2)
+                    r = rng.integers(4, 14)
+                    blob = (yy - cy) ** 2 + (xx - cx) ** 2 <= r * r
+                    x[i][blob] = rng.integers(120, 250)
+            if n_out == 1:
+                y = (x[..., :1] > 100).astype(np.float32)
+            else:
+                y = np.stack(
+                    [(x[..., 0] > 100), (x[..., 0] > 180)], axis=-1
+                ).astype(np.float32)
+            yield x / 255.0, y
+
+    module = UNet(out_channels=1, base_features=32, depth=4, dtype=jnp.bfloat16)
+    params = fit(
+        module, batches(1), distill_steps, input_shape=(8, 128, 128, 3)
+    )
+    save_model(
+        loki_unet, module, params,
+        outputs={"pred": {"channel_names": ["foreground"]}},
+    )
+
+    module2 = UNet(out_channels=2, base_features=32, depth=4, dtype=jnp.bfloat16)
+    params2 = fit(
+        module2, batches(2), distill_steps, input_shape=(8, 128, 128, 3)
+    )
+    save_model(
+        semseg_unet, module2, params2,
+        outputs={"pred": {"channel_names": ["Prosoma", "Oilsack"]}},
+    )
+
+    clf = ConvClassifier(n_outputs=8, dtype=jnp.bfloat16)
+    cparams = clf.init(jax.random.key(2), jnp.zeros((1, 256, 256, 3)))
+    save_model(clf_dir, clf, cparams, outputs={"probs": {}})
+    return loki_unet, semseg_unet, clf_dir
+
+
+def main() -> None:
+    args = parse_args()
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_bench")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+
+    from fixtures import make_loki_sample
+    from test_predict_pipeline import make_taxonomy_files
+
+    from maze_image_processing_pipeline_tpu.dataio import Archive, read_tsv
+    from maze_image_processing_pipeline_tpu.loki.pipeline import (
+        Runner as LokiRunner,
+    )
+    from maze_image_processing_pipeline_tpu.predict.pipeline import (
+        Runner as PredictRunner,
+    )
+
+    t0 = time.perf_counter()
+    loki_unet, semseg_unet, clf_dir = ensure_models(
+        args.model_dir, args.distill_steps
+    )
+    t_models = time.perf_counter() - t0
+
+    work = pathlib.Path(args.workdir)
+    if work.exists():
+        shutil.rmtree(work)
+    work.mkdir(parents=True)
+    make_loki_sample(
+        str(work / "data"),
+        n_frames=args.frames,
+        objects_per_frame=args.objects_per_frame,
+        frame_shape=(1024, 1280),
+    )
+    tax_fn, csv_fn = make_taxonomy_files(work)
+
+    loki_out = str(work / "loki_out")
+    t0 = time.perf_counter()
+    LokiRunner._configure_and_run(
+        {
+            "input": {"path": str(work / "data")},
+            "segmentation": {
+                "jax": {
+                    "model_fn": loki_unet,
+                    "batch_size": 4,
+                    "tile_size": 1024,
+                    "tile_stride": 896,
+                    "postprocess": {"min_area": 30, "closing_radius": 2},
+                }
+            },
+            "postprocess": {},
+            "output": {"target_dir": loki_out},
+        }
+    )
+    t_loki = time.perf_counter() - t0
+    archive_fn = os.path.join(loki_out, "LOKI_PS122-1_7.zip")
+    n_objects = len(read_tsv(Archive(archive_fn) / "ecotaxa_export.tsv"))
+
+    semseg_out = str(work / "semseg_out")
+    t0 = time.perf_counter()
+    PredictRunner._configure_and_run(
+        {
+            "input": {"path": archive_fn},
+            "model": {
+                "model_fn": semseg_unet,
+                "batch_size": 64,
+                "tiling": {"size": 256, "stride": 192},
+            },
+            "save_raw_h5": True,
+            "segmentation": {"draw": False, "fill_holes": True},
+            "target_dir": semseg_out,
+        }
+    )
+    t_semseg = time.perf_counter() - t0
+
+    poly_out = str(work / "poly_out")
+    t0 = time.perf_counter()
+    PredictRunner._configure_and_run(
+        {
+            "input": {"path": archive_fn},
+            "model": {
+                "model_fn": clf_dir,
+                "batch_size": 256,
+                "input_size": 256,
+            },
+            "polytaxo": {
+                "poly_taxonomy_fn": tax_fn,
+                "ecotaxa_taxonomy_fn": csv_fn,
+                "threshold": 0.01,
+                "skip_unchanged_objects": False,
+            },
+            "target_dir": poly_out,
+        }
+    )
+    t_poly = time.perf_counter() - t0
+
+    total = t_loki + t_semseg + t_poly
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_haul_objects_per_sec",
+                "frames": args.frames,
+                "objects": n_objects,
+                "model_prep_s": round(t_models, 1),
+                "loki_s": round(t_loki, 1),
+                "semseg_s": round(t_semseg, 1),
+                "polytaxo_s": round(t_poly, 1),
+                "value": round(n_objects / total, 2),
+                "frames_per_sec_loki": round(args.frames / t_loki, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
