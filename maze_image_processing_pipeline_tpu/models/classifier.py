@@ -14,6 +14,8 @@ from typing import Any, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
+from .layers import GroupNorm
+
 __all__ = ["ConvClassifier"]
 
 
@@ -38,11 +40,11 @@ class ConvClassifier(nn.Module):
         for f in self.features:
             x = nn.Conv(f, (3, 3), strides=(2, 2), padding="SAME", dtype=self.dtype)(x)
             if self.norm:
-                x = nn.GroupNorm(num_groups=min(8, f), dtype=self.dtype)(x)
+                x = GroupNorm(num_groups=min(8, f), dtype=self.dtype)(x)
             x = nn.relu(x)
             x = nn.Conv(f, (3, 3), padding="SAME", dtype=self.dtype)(x)
             if self.norm:
-                x = nn.GroupNorm(num_groups=min(8, f), dtype=self.dtype)(x)
+                x = GroupNorm(num_groups=min(8, f), dtype=self.dtype)(x)
             x = nn.relu(x)
 
         x = jnp.mean(x, axis=(1, 2))  # global average pool

@@ -15,6 +15,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from .layers import GroupNorm
+
 __all__ = ["UNet"]
 
 
@@ -28,7 +30,7 @@ class ConvBlock(nn.Module):
         for _ in range(2):
             x = nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype)(x)
             if self.norm:
-                x = nn.GroupNorm(
+                x = GroupNorm(
                     num_groups=min(8, self.features), dtype=self.dtype
                 )(x)
             x = nn.relu(x)
@@ -67,7 +69,11 @@ class UNet(nn.Module):
 
         for i in reversed(range(self.depth)):
             B, H, W, C = x.shape
-            x = jax.image.resize(x, (B, H * 2, W * 2, C), method="nearest")
+            # 2x nearest upsample as broadcast+reshape: jax.image.resize
+            # lowers to gathers on TPU (~100x the cost of a reshape copy).
+            x = jnp.broadcast_to(
+                x[:, :, None, :, None, :], (B, H, 2, W, 2, C)
+            ).reshape(B, H * 2, W * 2, C)
             x = nn.Conv(
                 self.base_features * 2**i, (2, 2), padding="SAME", dtype=self.dtype
             )(x)

@@ -1,0 +1,157 @@
+"""Pallas TPU kernel: fused small-object removal (areas → keep → relabel).
+
+The XLA formulation (:func:`.label.remove_small_objects`) makes two full
+O(H·W·R) passes over the frame — one to count areas, one to remap ids —
+and cannot skip background: measured 8.0 ms per (8, 1024², R=256) batch on
+v5e (BASELINE.md stage budget), on frames where only ~⅓ of row-strips
+contain any foreground.
+
+This kernel runs a **two-phase grid over the same row-strips**:
+
+* phase 0 accumulates per-region pixel counts into a VMEM ``(R,)`` block
+  (one-hot compare + reduce, the scatter-free pattern used everywhere in
+  ``ops/``);
+* at the first step of phase 1 the completed areas become the compact
+  remap table ``new_ids = cumsum(area ≥ min_area) · keep`` (a tiny (R,)
+  cumsum in VMEM);
+* phase 1 rewrites each strip as ``Σ_r onehot(lab, r) · new_ids[r]`` —
+  a lane reduction instead of a per-pixel table gather (TPU gathers
+  measured ~100× the compare+reduce).
+
+Strips with no foreground skip the heavy work in both phases (their
+output is all background).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["remove_small_objects_pallas"]
+
+
+def _kernel(lab_ref, out_ref, areas_ref, newids_ref, *, min_area):
+    phase = pl.program_id(1)
+    h = pl.program_id(2)
+    TH, W = lab_ref.shape[1:]
+    R = areas_ref.shape[-1]  # refs are (1, 1, R): Mosaic wants the last two
+    # block dims to tile (8, 128) or equal the array dims
+
+    lab = lab_ref[0]  # (TH, W) int32
+    has_fg = jnp.any(lab > 0)
+
+    @pl.when((phase == 0) & (h == 0))
+    def _():
+        areas_ref[:] = jnp.zeros_like(areas_ref)
+
+    @pl.when((phase == 0) & has_fg)
+    def _():
+        r_ids = jax.lax.broadcasted_iota(jnp.int32, (TH, W, R), 2)
+        onehot = (lab[..., None] == r_ids).astype(jnp.float32)
+        areas_ref[0, 0] += jnp.sum(onehot, axis=(0, 1))
+
+    @pl.when((phase == 1) & (h == 0))
+    def _():
+        areas = areas_ref[0, 0]
+        keep = areas >= jnp.float32(min_area)
+        keep = keep & (jax.lax.broadcasted_iota(jnp.int32, (R,), 0) > 0)
+        kf = keep.astype(jnp.float32)
+        # Prefix sum as a triangular contraction (Mosaic has no cumsum):
+        # cum[i] = Σ_{j≤i} kf[j]; exact — values ≤ R < 2^24.
+        tri = (
+            jax.lax.broadcasted_iota(jnp.int32, (R, R), 0)
+            <= jax.lax.broadcasted_iota(jnp.int32, (R, R), 1)
+        ).astype(jnp.float32)
+        cum = jax.lax.dot_general(
+            kf[None, :],
+            tri,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )[0]
+        newids_ref[0, 0] = cum * kf
+
+    @pl.when(phase == 1)
+    def _():
+        @pl.when(has_fg)
+        def _():
+            r_ids = jax.lax.broadcasted_iota(jnp.int32, (TH, W, R), 2)
+            onehot = lab[..., None] == r_ids
+            table = newids_ref[0, 0][None, None, :]
+            out_ref[0] = jnp.sum(
+                jnp.where(onehot, table, 0.0), axis=-1
+            ).astype(jnp.int32)
+
+        @pl.when(jnp.logical_not(has_fg))
+        def _():
+            out_ref[0] = jnp.zeros_like(out_ref[0])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("min_area", "num_segments", "tile_rows", "interpret"),
+)
+def remove_small_objects_pallas(
+    labels: jnp.ndarray,
+    min_area: int,
+    *,
+    num_segments: int,
+    tile_rows: int = 8,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Same contract as :func:`.label.remove_small_objects` (TPU hot path).
+
+    Parity: ``skimage.morphology.remove_small_objects`` at
+    ``/root/reference/maze_ipp/loki/pipeline.py:443-448``.
+    """
+    batch_shape = labels.shape[:-2]
+    H, W = labels.shape[-2:]
+    R = num_segments
+    lab = labels.reshape((-1, H, W)).astype(jnp.int32)
+    B = lab.shape[0]
+
+    TH = tile_rows
+    n_h = -(-H // TH)
+    H_pad = n_h * TH
+    if H_pad != H:
+        lab = jnp.pad(lab, ((0, 0), (0, H_pad - H), (0, 0)))
+
+    out, areas, newids = pl.pallas_call(
+        functools.partial(_kernel, min_area=min_area),
+        grid=(B, 2, n_h),
+        in_specs=[
+            pl.BlockSpec(
+                (1, TH, W), lambda b, p, h: (b, h, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (1, TH, W), lambda b, p, h: (b, h, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, R), lambda b, p, h: (b, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, R), lambda b, p, h: (b, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, H_pad, W), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, R), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, R), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(lab)
+
+    out = out[:, :H]
+    n = jnp.max(newids[:, 0], axis=-1).astype(jnp.int32)
+    return (
+        out.reshape(batch_shape + (H, W)),
+        n.reshape(batch_shape),
+    )

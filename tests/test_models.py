@@ -176,3 +176,30 @@ class TestTraining:
         y = (rng.random((4, 4)) > 0.5).astype(np.float32)
         state, m = step(state, x, y)
         assert np.isfinite(float(m["loss"]))
+
+
+def test_lane_preserving_groupnorm_matches_flax():
+    """models.layers.GroupNorm is a drop-in for nn.GroupNorm (same params,
+    same numerics): flax's reshape-based version splits the TPU lane dim
+    (measured 37 of 56 ms of a U-Net 1024^2-tile forward, BASELINE.md)."""
+    import flax.linen as nn
+
+    from maze_image_processing_pipeline_tpu.models.layers import GroupNorm
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 32)), jnp.float32)
+    ours = GroupNorm(num_groups=8)
+    ref = nn.GroupNorm(num_groups=8, epsilon=1e-6)
+    p1 = ours.init(jax.random.key(0), x)
+    p2 = ref.init(jax.random.key(0), x)
+    # identical param pytree (names + shapes) => checkpoint compatible
+    assert jax.tree_util.tree_structure(p1) == jax.tree_util.tree_structure(p2)
+    scale = jnp.asarray(rng.standard_normal(32), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(32), jnp.float32)
+    params = {"params": {"scale": scale, "bias": bias}}
+    np.testing.assert_allclose(
+        np.asarray(ours.apply(params, x)),
+        np.asarray(ref.apply(params, x)),
+        rtol=2e-5,
+        atol=2e-5,
+    )

@@ -37,3 +37,24 @@ def test_pallas_matches_xla_fused(rng):
             np.testing.assert_allclose(
                 b[sl], a[sl], rtol=2e-3, atol=2e-2, err_msg=f"{key} b={bi}"
             )
+
+
+def test_pallas_remove_small_matches_xla(rng):
+    from maze_image_processing_pipeline_tpu.ops.label import remove_small_objects
+    from maze_image_processing_pipeline_tpu.ops.pallas_relabel import (
+        remove_small_objects_pallas,
+    )
+
+    masks = np.stack(
+        [
+            ndi.binary_dilation(rng.random((48, 128)) < 0.06, iterations=2)
+            for _ in range(3)
+        ]
+    )
+    labels, _ = label_mod.label(masks, connectivity=2)
+    a_lab, a_n = remove_small_objects(labels, 30, num_segments=64)
+    b_lab, b_n = remove_small_objects_pallas(
+        labels, 30, num_segments=64, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(a_lab), np.asarray(b_lab))
+    np.testing.assert_array_equal(np.asarray(a_n), np.asarray(b_n))
