@@ -108,6 +108,15 @@ class JaxSegmentationConfig(DefaultModel):
         False, description="Perform full-frame post-processing steps."
     )
 
+    device_blend: bool = Field(
+        True,
+        description=(
+            "Blend tile predictions on the accelerator (predictions never "
+            "leave the device; only labels + measurements transfer). "
+            "false = host-side tile blending."
+        ),
+    )
+
     full_frame_archive_fn: Optional[str] = Field(
         None,
         description="Write segmented full-frames to this file in the target directory (debug).",

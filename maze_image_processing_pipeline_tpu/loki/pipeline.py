@@ -333,6 +333,280 @@ def build_threshold_segmentation(config: ThresholdSegmentationConfig, image, met
     return image, meta, mask
 
 
+# Packed-props key order, captured at first trace of a frame chain (sorted
+# for stability across the pallas / XLA measurement variants).
+_PROP_PACK_KEYS: list = []
+
+
+def _make_frame_chain(cfg: SegmentationPostprocessingConfig):
+    """Build the jitted frame postprocess: mask → morphology → CCL →
+    [clear_border] → [remove_small] → fused region measurement.
+
+    Returns ``(labels uint16, n, packed (K, R) f32, hist (R, 256))`` —
+    per-region statistics ride ONE packed matrix so a frame costs 4
+    device→host transfers instead of ~28: each fetch through this host's
+    TPU tunnel costs ~25 ms latency + ~16 MB/s, and transfers dominated
+    the e2e profile (BASELINE.md round-2 findings). uint16 labels halve
+    the big transfer (ids are bounded by 4·max_regions ≤ 65k).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops import label as lm
+    from ..ops import morphology as morph
+    from ..ops.pallas_props import regionprops_fused_pallas
+    from ..ops.regionprops_fused import regionprops_fused
+
+    use_pallas = jax.default_backend() == "tpu"
+
+    @jax.jit
+    def chain(pred, image):
+        mask = pred > 0.5
+        if cfg.opening_radius > 0:
+            mask = morph.binary_opening(mask, cfg.opening_radius)
+        if cfg.closing_radius > 0:
+            mask = morph.binary_closing(mask, cfg.closing_radius)
+        labels, n = lm.label(mask, connectivity=2)
+        if cfg.clear_border:
+            labels, n = lm.clear_border(labels, num_segments=4 * cfg.max_regions)
+        if cfg.min_area > 0:
+            labels, n = lm.remove_small_objects(
+                labels, cfg.min_area, num_segments=4 * cfg.max_regions
+            )
+        if use_pallas:
+            props = regionprops_fused_pallas(
+                labels, image, num_segments=cfg.max_regions
+            )
+        else:
+            props = regionprops_fused(
+                labels,
+                image,
+                num_segments=cfg.max_regions,
+                compute_histogram=True,
+            )
+        keys = sorted(k for k in props if k != "histogram")
+        if not _PROP_PACK_KEYS:
+            _PROP_PACK_KEYS.extend(keys)
+        packed = jnp.stack([props[k] for k in keys])
+        return (
+            labels.astype(jnp.uint16),
+            n,
+            packed,
+            props["histogram"],
+        )
+
+    return chain
+
+
+def _unpack_frame_result(dev_out, H, W):
+    """Fetch + unpack one frame's device results (4 transfers)."""
+    labels_d, n_d, packed_d, hist_d = dev_out
+    labels = np.asarray(labels_d)[:H, :W].astype(np.int32)
+    n = int(n_d)
+    packed = np.asarray(packed_d)
+    props = {k: packed[i] for i, k in enumerate(_PROP_PACK_KEYS)}
+    props["histogram"] = np.asarray(hist_d)
+    return labels, n, props
+
+
+def _finalize_frame(labels, n, props, post_cfg):
+    """Shared host-side epilogue: overflow warning + optional bridge merge."""
+    if n >= post_cfg.max_regions:
+        logger.warning(
+            "Frame has %d regions, exceeding max_regions=%d; "
+            "excess regions are dropped.",
+            n,
+            post_cfg.max_regions,
+        )
+    if post_cfg.merge_segments_distance > 0:
+        labels = merge_labels(labels, max_distance=post_cfg.merge_segments_distance)
+        props = None  # stale after merging; re-measure per crop
+    return labels, props, n
+
+
+@ReturnOutputs
+class DeviceTiledSegmentation(Node):
+    """Fused tile inference → on-device linear blend → frame postprocess.
+
+    The composed path (``TiledPipeline{JaxInference}`` → host blend →
+    :class:`DeviceFramePostprocess`) moves every tile's prediction to the
+    host and the blended frame back to the device. Profiled on this host
+    (BASELINE.md round-2): device→host fetches ran at ~16 MB/s through the
+    TPU tunnel and took 56 of 91 s of the loki stage. Here the predictions
+    never leave the chip: per frame the host uploads one uint8 frame and
+    downloads uint16 labels + the packed per-region measurements.
+
+    Parity: tile starts (:func:`..engine.tiles._tile_starts`), separable
+    ramp weights (:func:`..engine.tiles._linear_weight`), and the
+    postprocess chain (:func:`_make_frame_chain`) are exactly the host
+    path's; the reference's node chain is ``loki/pipeline.py:513-537`` +
+    ``:396-459``.
+    """
+
+    outputs = ("labels", "props", "n_regions")
+
+    def __init__(
+        self,
+        image: RawOrVariable[np.ndarray],
+        model,
+        config,
+        postprocess_config: SegmentationPostprocessingConfig,
+        mesh=None,
+    ) -> None:
+        self.image = image
+        super().__init__()
+        self._model = model
+        self._cfg = config
+        self._post_cfg = postprocess_config
+        self._post = _make_frame_chain(postprocess_config)
+        self._devices = list(mesh.devices.flat) if mesh is not None else [None]
+        self._fns: Dict[Tuple[int, int], object] = {}
+
+    def _get_fn(self, H: int, W: int):
+        fn = self._fns.get((H, W))
+        if fn is None:
+            fn = self._build(H, W)
+            self._fns[(H, W)] = fn
+        return fn
+
+    def _infer_step(self):
+        """One jitted model forward shared across all frames/chunks."""
+        if getattr(self, "_infer", None) is None:
+            import jax
+            import jax.numpy as jnp
+
+            from ..models.inference import default_device_pre
+
+            apply_fn = self._model.apply
+            params = self._model.params
+
+            @jax.jit
+            def infer(tiles_u8):  # (bs, ts, ts) uint8
+                x = default_device_pre(tiles_u8)
+                y = jax.nn.sigmoid(apply_fn(params, x))
+                return y[..., 0].astype(jnp.float32)
+
+            self._infer = infer
+        return self._infer
+
+    def _build(self, H: int, W: int):
+        """Per-frame-shape: tile extraction + blend/postprocess programs.
+
+        The model forward stays its OWN jit (one compile, reused across
+        frame shapes and chunk sizes); device arrays flow between the three
+        programs without touching the host, so the zero-transfer property
+        is preserved while each program compiles in seconds rather than
+        inlining the U-Net into every frame-shape specialization.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        from ..engine.tiles import _linear_weight, _tile_starts
+
+        ts = self._cfg.tile_size
+        stride = self._cfg.tile_stride
+        ys = _tile_starts(H, ts, stride)
+        xs = _tile_starts(W, ts, stride)
+        offsets = [(y, x) for y in ys for x in xs]
+        bucket = 256
+        Hp = -(-max(H, ts) // bucket) * bucket
+        Wp = -(-max(W, ts) // bucket) * bucket
+        wt = jnp.asarray(_linear_weight(ts, ts))
+        post = self._post
+        bs = self._cfg.batch_size or 8
+        infer = self._infer_step()
+
+        @jax.jit
+        def extract(frame_u8):  # (Hp, Wp) uint8 → (T, ts, ts) uint8
+            return jnp.stack(
+                [
+                    jax.lax.slice(frame_u8, (oy, ox), (oy + ts, ox + ts))
+                    for oy, ox in offsets
+                ]
+            )
+
+        @jax.jit
+        def blend_post(pred_t, frame_u8):  # (T, ts, ts) f32, (Hp, Wp) uint8
+            canvas = jnp.zeros((Hp, Wp), jnp.float32)
+            wsum = jnp.zeros((Hp, Wp), jnp.float32)
+            for t, (oy, ox) in enumerate(offsets):
+                canvas = canvas.at[oy : oy + ts, ox : ox + ts].add(pred_t[t] * wt)
+                wsum = wsum.at[oy : oy + ts, ox : ox + ts].add(wt)
+            pred = canvas / jnp.maximum(wsum, 1.0)
+            # The model may score the zero padding above 0.5; the true frame
+            # ends at (H, W).
+            if H < Hp:
+                pred = pred.at[H:, :].set(0.0)
+            if W < Wp:
+                pred = pred.at[:, W:].set(0.0)
+            return post(pred, frame_u8)
+
+        def fn(frame_u8):
+            tiles = extract(frame_u8)
+            T = len(offsets)
+            if T <= bs:
+                pred_t = infer(tiles)  # one compile per distinct small T
+            else:
+                preds = []
+                for i in range(0, T, bs):
+                    chunk = tiles[i : i + bs]
+                    if chunk.shape[0] < bs:
+                        # Pad the tail chunk so the forward never recompiles.
+                        pad = bs - chunk.shape[0]
+                        chunk = jnp.concatenate(
+                            [chunk, jnp.repeat(chunk[-1:], pad, axis=0)]
+                        )
+                        preds.append(infer(chunk)[:-pad])
+                    else:
+                        preds.append(infer(chunk))
+                pred_t = jnp.concatenate(preds, 0)
+            return blend_post(pred_t, frame_u8)
+
+        return fn
+
+    def transform_stream(self, stream: Stream) -> Stream:
+        import collections
+
+        import jax
+
+        from ..engine.core import closing_if_closable
+
+        in_flight = 2 * len(self._devices)
+        pending: "collections.deque" = collections.deque()
+        frame_idx = 0
+
+        def emit(entry):
+            obj, dev_out, (H, W) = entry
+            labels, n, props = _unpack_frame_result(dev_out, H, W)
+            labels, props, n = _finalize_frame(labels, n, props, self._post_cfg)
+            self.prepare_output(obj, labels, props, n)
+            return obj
+
+        with closing_if_closable(stream):
+            for obj in stream:
+                image = np.asarray(self.prepare_input(obj, "image"))
+                if image.ndim == 3:
+                    image = image[..., 0]
+                H, W = image.shape
+                fn = self._get_fn(H, W)
+                Hp = -(-max(H, self._cfg.tile_size) // 256) * 256
+                Wp = -(-max(W, self._cfg.tile_size) // 256) * 256
+                img_p = np.zeros((Hp, Wp), image.dtype)
+                img_p[:H, :W] = image
+                device = self._devices[frame_idx % len(self._devices)]
+                frame_idx += 1
+                if device is not None:
+                    img_p = jax.device_put(img_p, device)
+                pending.append((obj, fn(img_p), (H, W)))
+                while len(pending) > in_flight:
+                    yield emit(pending.popleft())
+            while pending:
+                yield emit(pending.popleft())
+
+    def _input_names(self):
+        return ("image",)
+
+
 @ReturnOutputs
 class DeviceFramePostprocess(Node):
     """Fused device post-processing of one full frame per dispatch.
@@ -366,42 +640,7 @@ class DeviceFramePostprocess(Node):
         # is async so all chips run concurrently).
         self._devices = list(mesh.devices.flat) if mesh is not None else [None]
 
-        from ..ops import label as lm
-        from ..ops import morphology as morph
-        from ..ops.pallas_props import regionprops_fused_pallas
-        from ..ops.regionprops_fused import regionprops_fused
-
-        cfg = config
-        use_pallas = jax.default_backend() == "tpu"
-
-        @partial(jax.jit, static_argnames=())
-        def chain(pred, image):
-            mask = pred > 0.5
-            if cfg.opening_radius > 0:
-                mask = morph.binary_opening(mask, cfg.opening_radius)
-            if cfg.closing_radius > 0:
-                mask = morph.binary_closing(mask, cfg.closing_radius)
-            labels, n = lm.label(mask, connectivity=2)
-            if cfg.clear_border:
-                labels, n = lm.clear_border(labels, num_segments=4 * cfg.max_regions)
-            if cfg.min_area > 0:
-                labels, n = lm.remove_small_objects(
-                    labels, cfg.min_area, num_segments=4 * cfg.max_regions
-                )
-            if use_pallas:
-                props = regionprops_fused_pallas(
-                    labels, image, num_segments=cfg.max_regions
-                )
-            else:
-                props = regionprops_fused(
-                    labels,
-                    image,
-                    num_segments=cfg.max_regions,
-                    compute_histogram=True,
-                )
-            return labels, n, props
-
-        self._chain = chain
+        self._chain = _make_frame_chain(config)
 
     def transform_stream(self, stream):
         import collections
@@ -419,22 +658,8 @@ class DeviceFramePostprocess(Node):
 
         def emit(entry):
             obj, dev_out, (H, W) = entry
-            labels_d, n_d, props_d = dev_out
-            labels = np.asarray(labels_d)[:H, :W]
-            n = int(n_d)
-            props = {k: np.asarray(v) for k, v in props_d.items()}
-            if n >= self.config.max_regions:
-                logger.warning(
-                    "Frame has %d regions, exceeding max_regions=%d; "
-                    "excess regions are dropped.",
-                    n,
-                    self.config.max_regions,
-                )
-            if self.config.merge_segments_distance > 0:
-                labels = merge_labels(
-                    labels, max_distance=self.config.merge_segments_distance
-                )
-                props = None  # stale after merging; re-measure per crop
+            labels, n, props = _unpack_frame_result(dev_out, H, W)
+            labels, props, n = _finalize_frame(labels, n, props, self.config)
             self.prepare_output(obj, labels, props, n)
             return obj
 
@@ -491,43 +716,56 @@ def build_jax_segmentation(
         process_meta["process_segmentation_stitch"] = False
 
     model = load_model(config.model_fn, dtype=config.dtype)
-
-    with TiledPipeline(
-        (config.tile_size, config.tile_size),
-        image,
-        tile_stride=(config.tile_stride, config.tile_stride),
-        blend_strategy="linear",
-    ):
-        # Skip empty tiles (no pixels above zero).
-        Filter(Call(lambda img: bool((np.asarray(img) > 0).any()), image))
-
-        batch_size = config.batch_size or 8
-        if mesh is not None:
-            # Each device needs a full shard: round the batch up.
-            n_dev = mesh.devices.size
-            batch_size = -(-batch_size // n_dev) * n_dev
-        foreground_pred = JaxInference(
-            model,
-            image,
-            batch_size=batch_size,
-            output_key=None,
-            mesh=mesh,
-        )
-        # Single foreground channel: take channel 0 of the sigmoid output.
-        foreground_pred = Call(
-            lambda p: np.asarray(p)[..., 0].astype(np.float32), foreground_pred
-        )
-
     postprocess_config = config.postprocess or SegmentationPostprocessingConfig()
-    labels, props, n_regions = DeviceFramePostprocess(
-        foreground_pred, image, postprocess_config, mesh=mesh
-    )
 
-    if config.full_frame_archive_fn is not None:
-        _build_full_frame_debug_output(
-            config, target_dir, image, foreground_pred, labels, meta
+    if config.device_blend and config.full_frame_archive_fn is None:
+        # Fused device path: tile inference + linear blend + postprocess in
+        # one program — predictions never leave the chip (the dominant cost
+        # on tunneled hosts; BASELINE.md). The host path below is kept for
+        # debug output (needs the blended pred on host) and as a fallback.
+        labels, props, n_regions = DeviceTiledSegmentation(
+            image, model, config, postprocess_config, mesh=mesh
         )
-        StreamBuffer(2)
+    else:
+        with TiledPipeline(
+            (config.tile_size, config.tile_size),
+            image,
+            tile_stride=(config.tile_stride, config.tile_stride),
+            blend_strategy="linear",
+        ):
+            # Skip empty tiles (no pixels above zero).
+            Filter(Call(lambda img: bool((np.asarray(img) > 0).any()), image))
+
+            batch_size = config.batch_size or 8
+            if mesh is not None:
+                # Each device needs a full shard: round the batch up.
+                n_dev = mesh.devices.size
+                batch_size = -(-batch_size // n_dev) * n_dev
+            foreground_pred = JaxInference(
+                model,
+                image,
+                batch_size=batch_size,
+                output_key=None,
+                mesh=mesh,
+                # Halve the dominant fetch cost on tunneled hosts; the
+                # host-side blend upcasts to f32 immediately below.
+                transfer_dtype=np.float16,
+            )
+            # Single foreground channel: channel 0 of the sigmoid output.
+            foreground_pred = Call(
+                lambda p: np.asarray(p)[..., 0].astype(np.float32),
+                foreground_pred,
+            )
+
+        labels, props, n_regions = DeviceFramePostprocess(
+            foreground_pred, image, postprocess_config, mesh=mesh
+        )
+
+        if config.full_frame_archive_fn is not None:
+            _build_full_frame_debug_output(
+                config, target_dir, image, foreground_pred, labels, meta
+            )
+            StreamBuffer(2)
 
     region = FindRegions(
         labels,

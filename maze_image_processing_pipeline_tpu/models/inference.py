@@ -93,6 +93,7 @@ class JaxInference(Node):
         mesh: Optional[jax.sharding.Mesh] = None,
         data_axis: str = "data",
         in_flight: int = 2,
+        transfer_dtype: Optional[Any] = None,
     ) -> None:
         self.model = model
         self.image = image
@@ -121,6 +122,8 @@ class JaxInference(Node):
         device_pre_ = device_pre
         device_post_ = device_post
 
+        transfer_dtype_ = transfer_dtype
+
         @jax.jit
         def step(x):
             if device_pre_ is not None:
@@ -130,6 +133,15 @@ class JaxInference(Node):
                 y = y[output_key_]
             if device_post_ is not None:
                 y = device_post_(y)
+            if transfer_dtype_ is not None:
+                # Shrink the device→host fetch (tunneled hosts move ~16 MB/s;
+                # f16 halves the dominant e2e cost — BASELINE.md).
+                y = jax.tree_util.tree_map(
+                    lambda a: a.astype(transfer_dtype_)
+                    if jnp.issubdtype(a.dtype, jnp.floating)
+                    else a,
+                    y,
+                )
             return y
 
         self._step = step

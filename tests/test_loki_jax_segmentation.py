@@ -128,3 +128,59 @@ def test_loki_jax_without_stitch(tmp_path, model_dir):
     archive_fn = os.path.join(target_dir, "LOKI_PS122-1_7.zip")
     df = read_tsv(Archive(archive_fn) / "ecotaxa_export.tsv")
     assert len(df) == 2
+
+
+def test_device_blend_matches_host_blend(tmp_path, model_dir):
+    """The fused device path (DeviceTiledSegmentation: tile inference +
+    on-device linear blend + postprocess) must produce the same EcoTaxa
+    output as the host-blend path (TiledPipeline{JaxInference} +
+    DeviceFramePostprocess) it replaces."""
+    make_loki_sample(
+        str(tmp_path / "data"), n_frames=2, objects_per_frame=3,
+        frame_shape=(280, 360),
+    )
+
+    def run(device_blend, out):
+        Runner._configure_and_run(
+            {
+                "input": {"path": str(tmp_path / "data")},
+                "segmentation": {
+                    "jax": {
+                        "model_fn": model_dir,
+                        "dtype": "float32",
+                        "batch_size": 4,
+                        "tile_size": 128,
+                        "tile_stride": 96,
+                        "device_blend": device_blend,
+                        "postprocess": {
+                            "closing_radius": 2,
+                            "opening_radius": 1,
+                            "min_area": 20,
+                        },
+                        "padding": 10,
+                    }
+                },
+                "postprocess": {},
+                "output": {"target_dir": str(tmp_path / out)},
+            }
+        )
+        return read_tsv(
+            Archive(os.path.join(str(tmp_path / out), "LOKI_PS122-1_7.zip"))
+            / "ecotaxa_export.tsv"
+        )
+
+    df_dev = run(True, "out_dev")
+    df_host = run(False, "out_host")
+    assert len(df_dev) == len(df_host)
+    key = ["object_posx", "object_posy"]
+    df_dev = df_dev.sort_values(key).reset_index(drop=True)
+    df_host = df_host.sort_values(key).reset_index(drop=True)
+    for col in ["object_area", "object_width", "object_height", "object_major",
+                "object_feret", "object_mean"]:
+        np.testing.assert_allclose(
+            df_dev[col].to_numpy(np.float64),
+            df_host[col].to_numpy(np.float64),
+            rtol=1e-3,
+            atol=0.51,
+            err_msg=col,
+        )

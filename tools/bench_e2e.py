@@ -87,7 +87,7 @@ def ensure_models(model_dir: str, distill_steps: int):
     module = UNet(out_channels=1, base_features=32, depth=4, dtype=jnp.bfloat16)
     params = fit(
         module, batches(1), distill_steps, input_shape=(8, 128, 128, 3)
-    )
+    ).params
     save_model(
         loki_unet, module, params,
         outputs={"pred": {"channel_names": ["foreground"]}},
@@ -96,7 +96,7 @@ def ensure_models(model_dir: str, distill_steps: int):
     module2 = UNet(out_channels=2, base_features=32, depth=4, dtype=jnp.bfloat16)
     params2 = fit(
         module2, batches(2), distill_steps, input_shape=(8, 128, 128, 3)
-    )
+    ).params
     save_model(
         semseg_unet, module2, params2,
         outputs={"pred": {"channel_names": ["Prosoma", "Oilsack"]}},
