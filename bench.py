@@ -34,8 +34,13 @@ import json
 import os
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_bench")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+# The env-var route (JAX_COMPILATION_CACHE_DIR) is ignored on this host's
+# TPU plugin (like JAX_PLATFORMS — see CLAUDE.md); the config API works.
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_bench")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 
 import numpy as np
 

@@ -489,14 +489,17 @@ class DeviceTiledSegmentation(Node):
             self._infer = infer
         return self._infer
 
-    def _build(self, H: int, W: int):
-        """Per-frame-shape: tile extraction + blend/postprocess programs.
+    def _build(self, Hb: int, Wb: int):
+        """Per-BUCKET tile extraction + blend/postprocess programs.
 
-        The model forward stays its OWN jit (one compile, reused across
-        frame shapes and chunk sizes); device arrays flow between the three
-        programs without touching the host, so the zero-transfer property
-        is preserved while each program compiles in seconds rather than
-        inlining the U-Net into every frame-shape specialization.
+        Stitched frame sizes vary slightly from frame to frame, so the
+        programs specialize on a *bucketed* shape (multiples of 128 — one
+        or two buckets per haul) and take the true (H, W) as traced
+        scalars for edge zeroing: compiling per exact frame shape cost
+        ~30 s × 24 frames through this host's tunnel (measured 738 s loki
+        stage before bucketing). The model forward stays its OWN jit (one
+        compile total); device arrays flow between the three programs
+        without touching the host.
         """
         import jax
         import jax.numpy as jnp
@@ -505,12 +508,11 @@ class DeviceTiledSegmentation(Node):
 
         ts = self._cfg.tile_size
         stride = self._cfg.tile_stride
-        ys = _tile_starts(H, ts, stride)
-        xs = _tile_starts(W, ts, stride)
+        assert Hb >= ts and Wb >= ts, (Hb, Wb, ts)
+        ys = _tile_starts(Hb, ts, stride)
+        xs = _tile_starts(Wb, ts, stride)
         offsets = [(y, x) for y in ys for x in xs]
-        bucket = 256
-        Hp = -(-max(H, ts) // bucket) * bucket
-        Wp = -(-max(W, ts) // bucket) * bucket
+        Hp, Wp = Hb, Wb
         wt = jnp.asarray(_linear_weight(ts, ts))
         post = self._post
         bs = self._cfg.batch_size or 8
@@ -526,22 +528,22 @@ class DeviceTiledSegmentation(Node):
             )
 
         @jax.jit
-        def blend_post(pred_t, frame_u8):  # (T, ts, ts) f32, (Hp, Wp) uint8
+        def blend_post(pred_t, frame_u8, h, w):
+            # (T, ts, ts) f32, (Hp, Wp) uint8, true frame extent (h, w)
             canvas = jnp.zeros((Hp, Wp), jnp.float32)
             wsum = jnp.zeros((Hp, Wp), jnp.float32)
             for t, (oy, ox) in enumerate(offsets):
                 canvas = canvas.at[oy : oy + ts, ox : ox + ts].add(pred_t[t] * wt)
                 wsum = wsum.at[oy : oy + ts, ox : ox + ts].add(wt)
             pred = canvas / jnp.maximum(wsum, 1.0)
-            # The model may score the zero padding above 0.5; the true frame
-            # ends at (H, W).
-            if H < Hp:
-                pred = pred.at[H:, :].set(0.0)
-            if W < Wp:
-                pred = pred.at[:, W:].set(0.0)
+            # The model may score the zero padding above 0.5; the true
+            # frame ends at (h, w).
+            rows = jax.lax.broadcasted_iota(jnp.int32, (Hp, Wp), 0)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (Hp, Wp), 1)
+            pred = jnp.where((rows < h) & (cols < w), pred, 0.0)
             return post(pred, frame_u8)
 
-        def fn(frame_u8):
+        def fn(frame_u8, h, w):
             tiles = extract(frame_u8)
             T = len(offsets)
             if T <= bs:
@@ -560,7 +562,7 @@ class DeviceTiledSegmentation(Node):
                     else:
                         preds.append(infer(chunk))
                 pred_t = jnp.concatenate(preds, 0)
-            return blend_post(pred_t, frame_u8)
+            return blend_post(pred_t, frame_u8, h, w)
 
         return fn
 
@@ -588,16 +590,21 @@ class DeviceTiledSegmentation(Node):
                 if image.ndim == 3:
                     image = image[..., 0]
                 H, W = image.shape
-                fn = self._get_fn(H, W)
-                Hp = -(-max(H, self._cfg.tile_size) // 256) * 256
-                Wp = -(-max(W, self._cfg.tile_size) // 256) * 256
-                img_p = np.zeros((Hp, Wp), image.dtype)
+                ts = self._cfg.tile_size
+                # Coarse buckets: every distinct (Hb, Wb) compiles the
+                # extract + blend/postprocess programs (~minutes through
+                # this host's tunnel), so collapse a haul's slightly-varying
+                # stitched sizes into as few shapes as possible.
+                Hb = -(-max(H, ts) // 256) * 256
+                Wb = -(-max(W, ts) // 256) * 256
+                fn = self._get_fn(Hb, Wb)
+                img_p = np.zeros((Hb, Wb), image.dtype)
                 img_p[:H, :W] = image
                 device = self._devices[frame_idx % len(self._devices)]
                 frame_idx += 1
                 if device is not None:
                     img_p = jax.device_put(img_p, device)
-                pending.append((obj, fn(img_p), (H, W)))
+                pending.append((obj, fn(img_p, H, W), (H, W)))
                 while len(pending) > in_flight:
                     yield emit(pending.popleft())
             while pending:

@@ -69,6 +69,27 @@ class PipelineRunner(abc.ABC):
         with open(task_fn) as f:
             config_dict = yaml.safe_load(f)
 
+        # Persistent XLA compilation cache: repeat runs skip the minutes of
+        # jit compiles on tunneled TPU hosts. Configured via the config API
+        # because some TPU plugins ignore the env var (see CLAUDE.md);
+        # override the location with MAZE_IPP_COMPILE_CACHE (empty = off).
+        cache_dir = os.environ.get(
+            "MAZE_IPP_COMPILE_CACHE",
+            os.path.join(
+                os.path.expanduser("~"), ".cache", "maze_ipp_tpu", "xla"
+            ),
+        )
+        if cache_dir:
+            try:
+                import jax
+
+                jax.config.update("jax_compilation_cache_dir", cache_dir)
+                jax.config.update(
+                    "jax_persistent_cache_min_compile_time_secs", 0.5
+                )
+            except Exception:  # pragma: no cover - cache is best-effort
+                root_logger.warning("Could not enable the XLA compile cache")
+
         # Optional device tracing: MAZE_IPP_PROFILE_DIR=<dir> captures a
         # jax.profiler trace of the whole run (view with TensorBoard /
         # xprof). SURVEY.md §5: the reference has no tracing; we add it.

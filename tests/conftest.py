@@ -21,8 +21,11 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 # Persistent compilation cache: repeat test runs skip XLA recompilation.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+# The env-var route (JAX_COMPILATION_CACHE_DIR) is ignored on this host
+# (like JAX_PLATFORMS — see CLAUDE.md); the config API works.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
