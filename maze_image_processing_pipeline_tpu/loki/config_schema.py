@@ -18,6 +18,16 @@ from ..parallel.config import ParallelConfig
 
 
 class SegmentationPostprocessingConfig(TrueToDefaultsModel):
+    pallas_kernels: bool = Field(
+        False,
+        description=(
+            "Use the hand-written Pallas kernels in the postprocess chain "
+            "(fastest sustained throughput, but each kernel costs a Mosaic "
+            "compilation at program build; worthwhile for long-running "
+            "services, not per-haul batch runs on remote-tunnel hosts)."
+        ),
+        json_schema_extra={"debug": True},
+    )
     closing_radius: int = Field(
         0, description="Apply morphological closing (close small gaps) using this radius."
     )
@@ -108,6 +118,15 @@ class JaxSegmentationConfig(DefaultModel):
         False, description="Perform full-frame post-processing steps."
     )
 
+    frame_batch: int = Field(
+        4,
+        description=(
+            "Stitched frames postprocessed per device dispatch (the CCL "
+            "stages are latency-bound, so a batch costs barely more than "
+            "one frame and shares one device→host fetch)."
+        ),
+        json_schema_extra={"debug": True},
+    )
     device_blend: bool = Field(
         True,
         description=(

@@ -357,7 +357,13 @@ def _make_frame_chain(cfg: SegmentationPostprocessingConfig):
     from ..ops.pallas_props import regionprops_fused_pallas
     from ..ops.regionprops_fused import regionprops_fused
 
-    use_pallas = jax.default_backend() == "tpu"
+    # Pallas kernels are the fastest steady-state chain (bench.py), but
+    # each pallas_call instance costs a Mosaic kernel compilation at trace
+    # time (~45 s through this host's remote tunnel, uncacheable) and the
+    # chain contains ~10 of them — streaming runs that trace once per
+    # process default to the pure-XLA formulations (~15 ms/frame slower on
+    # device, invisible next to host I/O). Opt in via cfg.pallas_kernels.
+    use_pallas = cfg.pallas_kernels and jax.default_backend() == "tpu"
 
     @jax.jit
     def chain(pred, image):
@@ -366,7 +372,7 @@ def _make_frame_chain(cfg: SegmentationPostprocessingConfig):
             mask = morph.binary_opening(mask, cfg.opening_radius)
         if cfg.closing_radius > 0:
             mask = morph.binary_closing(mask, cfg.closing_radius)
-        labels, n = lm.label(mask, connectivity=2)
+        labels, n = lm.label(mask, connectivity=2, pallas=use_pallas)
         if cfg.clear_border:
             labels, n = lm.clear_border(labels, num_segments=4 * cfg.max_regions)
         if cfg.min_area > 0:
@@ -409,6 +415,22 @@ def _unpack_frame_result(dev_out, H, W):
     return labels, n, props
 
 
+def _unpack_frame_batch(dev_out, dims):
+    """Fetch + unpack a frame GROUP's device results (4 transfers total)."""
+    labels_d, n_d, packed_d, hist_d = dev_out
+    labels_all = np.asarray(labels_d)  # (B, Hb, Wb) uint16
+    n_all = np.asarray(n_d)
+    packed_all = np.asarray(packed_d)  # (K, B, R)
+    hist_all = np.asarray(hist_d)  # (B, R, 256)
+    out = []
+    for b, (H, W) in enumerate(dims):
+        labels = labels_all[b, :H, :W].astype(np.int32)
+        props = {k: packed_all[i, b] for i, k in enumerate(_PROP_PACK_KEYS)}
+        props["histogram"] = hist_all[b]
+        out.append((labels, int(n_all[b]), props))
+    return out
+
+
 def _finalize_frame(labels, n, props, post_cfg):
     """Shared host-side epilogue: overflow warning + optional bridge merge."""
     if n >= post_cfg.max_regions:
@@ -436,6 +458,12 @@ class DeviceTiledSegmentation(Node):
     never leave the chip: per frame the host uploads one uint8 frame and
     downloads uint16 labels + the packed per-region measurements.
 
+    Frames are processed in groups of ``frame_batch`` (same shape bucket):
+    the chain's CCL/scan stages are latency-bound, so a batch of 8 frames
+    costs barely more device time than one, and the group shares one
+    device→host fetch (~4 s fixed latency per fetch measured through this
+    host's tunnel).
+
     Parity: tile starts (:func:`..engine.tiles._tile_starts`), separable
     ramp weights (:func:`..engine.tiles._linear_weight`), and the
     postprocess chain (:func:`_make_frame_chain`) are exactly the host
@@ -461,6 +489,7 @@ class DeviceTiledSegmentation(Node):
         self._post = _make_frame_chain(postprocess_config)
         self._devices = list(mesh.devices.flat) if mesh is not None else [None]
         self._fns: Dict[Tuple[int, int], object] = {}
+        self._frame_batch = max(1, getattr(config, "frame_batch", 4))
 
     def _get_fn(self, H: int, W: int):
         fn = self._fns.get((H, W))
@@ -480,13 +509,16 @@ class DeviceTiledSegmentation(Node):
             apply_fn = self._model.apply
             params = self._model.params
 
+            # Params as argument, not closure: closed-over device arrays
+            # embed as MLIR constants and are fetched back at every
+            # lowering (BASELINE.md round-2 findings).
             @jax.jit
-            def infer(tiles_u8):  # (bs, ts, ts) uint8
+            def infer_p(params, tiles_u8):  # (bs, ts, ts) uint8
                 x = default_device_pre(tiles_u8)
                 y = jax.nn.sigmoid(apply_fn(params, x))
                 return y[..., 0].astype(jnp.float32)
 
-            self._infer = infer
+            self._infer = lambda tiles: infer_p(params, tiles)
         return self._infer
 
     def _build(self, Hb: int, Wb: int):
@@ -513,44 +545,57 @@ class DeviceTiledSegmentation(Node):
         xs = _tile_starts(Wb, ts, stride)
         offsets = [(y, x) for y in ys for x in xs]
         Hp, Wp = Hb, Wb
-        wt = jnp.asarray(_linear_weight(ts, ts))
+        # numpy (host) constant: a jnp array here would live on device and
+        # be fetched back during every MLIR lowering (BASELINE.md).
+        wt = _linear_weight(ts, ts)
         post = self._post
         bs = self._cfg.batch_size or 8
         infer = self._infer_step()
 
+        B = self._frame_batch
+
         @jax.jit
-        def extract(frame_u8):  # (Hp, Wp) uint8 → (T, ts, ts) uint8
-            return jnp.stack(
+        def extract(frames_u8):  # (B, Hp, Wp) uint8 → (B·T, ts, ts) uint8
+            tiles = jnp.stack(
                 [
-                    jax.lax.slice(frame_u8, (oy, ox), (oy + ts, ox + ts))
+                    jax.lax.slice(
+                        frames_u8, (0, oy, ox), (B, oy + ts, ox + ts)
+                    )
                     for oy, ox in offsets
-                ]
-            )
+                ],
+                axis=1,
+            )  # (B, T, ts, ts)
+            return tiles.reshape(B * len(offsets), ts, ts)
 
         @jax.jit
-        def blend_post(pred_t, frame_u8, h, w):
-            # (T, ts, ts) f32, (Hp, Wp) uint8, true frame extent (h, w)
-            canvas = jnp.zeros((Hp, Wp), jnp.float32)
-            wsum = jnp.zeros((Hp, Wp), jnp.float32)
-            for t, (oy, ox) in enumerate(offsets):
-                canvas = canvas.at[oy : oy + ts, ox : ox + ts].add(pred_t[t] * wt)
-                wsum = wsum.at[oy : oy + ts, ox : ox + ts].add(wt)
-            pred = canvas / jnp.maximum(wsum, 1.0)
-            # The model may score the zero padding above 0.5; the true
-            # frame ends at (h, w).
-            rows = jax.lax.broadcasted_iota(jnp.int32, (Hp, Wp), 0)
-            cols = jax.lax.broadcasted_iota(jnp.int32, (Hp, Wp), 1)
-            pred = jnp.where((rows < h) & (cols < w), pred, 0.0)
-            return post(pred, frame_u8)
-
-        def fn(frame_u8, h, w):
-            tiles = extract(frame_u8)
+        def blend_post(pred_t, frames_u8, hs, ws):
+            # (B·T, ts, ts) f32, (B, Hp, Wp) uint8, true extents (B,)
             T = len(offsets)
-            if T <= bs:
-                pred_t = infer(tiles)  # one compile per distinct small T
+            pred_t = pred_t.reshape(B, T, ts, ts)
+            canvas = jnp.zeros((B, Hp, Wp), jnp.float32)
+            wsum = jnp.zeros((B, Hp, Wp), jnp.float32)
+            for t, (oy, ox) in enumerate(offsets):
+                canvas = canvas.at[:, oy : oy + ts, ox : ox + ts].add(
+                    pred_t[:, t] * wt
+                )
+                wsum = wsum.at[:, oy : oy + ts, ox : ox + ts].add(wt)
+            pred = canvas / jnp.maximum(wsum, 1.0)
+            # The model may score the zero padding above 0.5; frame b ends
+            # at (hs[b], ws[b]).
+            rows = jax.lax.broadcasted_iota(jnp.int32, (Hp, Wp), 0)[None]
+            cols = jax.lax.broadcasted_iota(jnp.int32, (Hp, Wp), 1)[None]
+            valid = (rows < hs[:, None, None]) & (cols < ws[:, None, None])
+            pred = jnp.where(valid, pred, 0.0)
+            return post(pred, frames_u8)
+
+        def fn(frames_u8, hs, ws):
+            tiles = extract(frames_u8)
+            n_tiles = B * len(offsets)
+            if n_tiles <= bs:
+                pred_t = infer(tiles)
             else:
                 preds = []
-                for i in range(0, T, bs):
+                for i in range(0, n_tiles, bs):
                     chunk = tiles[i : i + bs]
                     if chunk.shape[0] < bs:
                         # Pad the tail chunk so the forward never recompiles.
@@ -562,7 +607,7 @@ class DeviceTiledSegmentation(Node):
                     else:
                         preds.append(infer(chunk))
                 pred_t = jnp.concatenate(preds, 0)
-            return blend_post(pred_t, frame_u8, h, w)
+            return blend_post(pred_t, frames_u8, hs, ws)
 
         return fn
 
@@ -575,14 +620,42 @@ class DeviceTiledSegmentation(Node):
 
         in_flight = 2 * len(self._devices)
         pending: "collections.deque" = collections.deque()
-        frame_idx = 0
+        group: list = []  # (obj, image, H, W)
+        group_key = None
+        group_idx = 0
+        B = self._frame_batch
 
         def emit(entry):
-            obj, dev_out, (H, W) = entry
-            labels, n, props = _unpack_frame_result(dev_out, H, W)
-            labels, props, n = _finalize_frame(labels, n, props, self._post_cfg)
-            self.prepare_output(obj, labels, props, n)
-            return obj
+            objs, dev_out, dims = entry
+            for obj, (labels, n, props) in zip(
+                objs, _unpack_frame_batch(dev_out, dims)
+            ):
+                labels, props, n = _finalize_frame(
+                    labels, n, props, self._post_cfg
+                )
+                self.prepare_output(obj, labels, props, n)
+                yield obj
+
+        def flush():
+            nonlocal group, group_idx
+            if not group:
+                return
+            Hb, Wb = group_key
+            objs = [g[0] for g in group]
+            dims = [(g[2], g[3]) for g in group]
+            imgs = np.zeros((B, Hb, Wb), group[0][1].dtype)
+            hs = np.zeros((B,), np.int32)
+            ws = np.zeros((B,), np.int32)
+            for b, (_, image, H, W) in enumerate(group):
+                imgs[b, :H, :W] = image
+                hs[b], ws[b] = H, W
+            group = []
+            fn = self._get_fn(Hb, Wb)
+            device = self._devices[group_idx % len(self._devices)]
+            group_idx += 1
+            if device is not None:
+                imgs = jax.device_put(imgs, device)
+            pending.append((objs, fn(imgs, hs, ws), dims))
 
         with closing_if_closable(stream):
             for obj in stream:
@@ -597,18 +670,17 @@ class DeviceTiledSegmentation(Node):
                 # stitched sizes into as few shapes as possible.
                 Hb = -(-max(H, ts) // 256) * 256
                 Wb = -(-max(W, ts) // 256) * 256
-                fn = self._get_fn(Hb, Wb)
-                img_p = np.zeros((Hb, Wb), image.dtype)
-                img_p[:H, :W] = image
-                device = self._devices[frame_idx % len(self._devices)]
-                frame_idx += 1
-                if device is not None:
-                    img_p = jax.device_put(img_p, device)
-                pending.append((obj, fn(img_p, H, W), (H, W)))
+                if group and group_key != (Hb, Wb):
+                    flush()
+                group_key = (Hb, Wb)
+                group.append((obj, image, H, W))
+                if len(group) >= B:
+                    flush()
                 while len(pending) > in_flight:
-                    yield emit(pending.popleft())
+                    yield from emit(pending.popleft())
+            flush()
             while pending:
-                yield emit(pending.popleft())
+                yield from emit(pending.popleft())
 
     def _input_names(self):
         return ("image",)

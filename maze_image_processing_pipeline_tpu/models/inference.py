@@ -124,8 +124,12 @@ class JaxInference(Node):
 
         transfer_dtype_ = transfer_dtype
 
+        # Params are an ARGUMENT, not a closure: closed-over arrays embed
+        # as MLIR constants and device-resident ones are fetched back to
+        # host during every lowering (seconds per leaf through this host's
+        # tunnel — BASELINE.md round-2 findings).
         @jax.jit
-        def step(x):
+        def step(params, x):
             if device_pre_ is not None:
                 x = device_pre_(x)
             y = apply_fn(params, x)
@@ -145,6 +149,7 @@ class JaxInference(Node):
             return y
 
         self._step = step
+        self._params = params
         # In is_batch mode the bucket is learned from the first group so the
         # tail (partial) BatchedPipeline group pads instead of recompiling.
         self._seen_batch: Optional[int] = None
@@ -178,7 +183,7 @@ class JaxInference(Node):
             pad += extra
         if self._sharding is not None:
             x = jax.device_put(x, self._sharding)
-        return self._step(x), n
+        return self._step(self._params, x), n
 
     def _fetch(self, out_dev: Any, n: int) -> List[np.ndarray]:
         out = np.asarray(out_dev)[:n]

@@ -26,10 +26,15 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = ["label", "remove_small_objects", "clear_border", "region_areas"]
 
-_INF = jnp.int32(2**30)
+# Host (numpy) scalar, NOT jnp: an eagerly-created jnp constant lives on
+# the device, and MLIR lowering fetches every device-resident closure
+# constant back to host (mlir.ir_constant -> array._value) — measured
+# ~seconds per constant through this host's TPU tunnel (BASELINE.md).
+_INF = np.int32(2**30)
 
 
 def _segmented_min_scan(values: jnp.ndarray, resets: jnp.ndarray, axis: int, reverse: bool):
@@ -46,8 +51,10 @@ def _segmented_min_scan(values: jnp.ndarray, resets: jnp.ndarray, axis: int, rev
     return out
 
 
-def _horizontal_pass(lab: jnp.ndarray, fg: jnp.ndarray) -> jnp.ndarray:
-    if jax.default_backend() == "tpu" and lab.shape[-1] % 128 == 0:
+def _horizontal_pass(
+    lab: jnp.ndarray, fg: jnp.ndarray, pallas: bool = True
+) -> jnp.ndarray:
+    if pallas and jax.default_backend() == "tpu" and lab.shape[-1] % 128 == 0:
         # Lane-scan via Pallas: associative_scan composed with the morphology
         # producers hits an XLA layout pathology (~26-33 ms/pass on v5e vs
         # ~1 ms isolated); the Pallas kernel pins the layout (BASELINE.md).
@@ -135,9 +142,14 @@ def _vertical_pass(
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("connectivity", "max_iters"))
+@functools.partial(
+    jax.jit, static_argnames=("connectivity", "max_iters", "pallas")
+)
 def label(
-    mask: jnp.ndarray, connectivity: int = 2, max_iters: int = 64
+    mask: jnp.ndarray,
+    connectivity: int = 2,
+    max_iters: int = 64,
+    pallas: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Label connected components of a boolean mask.
 
@@ -147,6 +159,11 @@ def label(
             the reference), 1 = 4-connected.
         max_iters: fixpoint iteration cap (each iteration is a full
             horizontal+down+up sweep).
+        pallas: allow the Pallas lane-scan kernels (fastest steady-state on
+            TPU, but every pallas_call instance costs a Mosaic kernel
+            compilation at TRACE time — ~45 s each through this host's
+            remote tunnel, uncacheable — so streaming pipelines that
+            compile per run pass False; see BASELINE.md).
 
     Returns:
         (labels, n_regions): int32 labels in [0, R] with 0 = background and
@@ -172,21 +189,24 @@ def label(
     lab0 = jnp.where(fg, lin + 1, _INF)
 
     def sweep(lab):
-        lab = _horizontal_pass(lab, fg)
+        lab = _horizontal_pass(lab, fg, pallas)
         lab = vpass(lab, False)
         lab = vpass(lab, True)
-        return _horizontal_pass(lab, fg)
+        return _horizontal_pass(lab, fg, pallas)
 
+    # The first sweep runs INSIDE the while_loop (i == 0 forces one
+    # iteration) so ``sweep`` is traced once per loop, not twice: every
+    # Pallas instance in the trace costs a Mosaic kernel compilation
+    # (~50 s through a remote tunnel; BASELINE.md).
     def cond(state):
         lab, prev, i = state
-        return (i < max_iters) & jnp.any(lab != prev)
+        return (i == 0) | ((i < max_iters) & jnp.any(lab != prev))
 
     def body(state):
         lab, _, i = state
         return sweep(lab), lab, i + 1
 
-    first = sweep(lab0)
-    lab, _, _ = jax.lax.while_loop(cond, body, (first, lab0, jnp.int32(1)))
+    lab, _, _ = jax.lax.while_loop(cond, body, (lab0, lab0, jnp.int32(0)))
 
     # Compaction: rank roots (label == own linear index + 1) in raster order,
     # then min-propagate the rank through each component with the same sweep
@@ -196,7 +216,7 @@ def label(
     # log-depth scan within rows plus a scan of per-row totals.)
     is_root = fg & (lab == lin + 1)
     root_i = is_root.astype(jnp.int32)
-    if jax.default_backend() == "tpu" and W % 128 == 0:
+    if pallas and jax.default_backend() == "tpu" and W % 128 == 0:
         from .pallas_scan import cumsum_lanes_pallas
 
         within_row = cumsum_lanes_pallas(root_i)
@@ -209,9 +229,8 @@ def label(
     n_regions = row_prefix_incl[..., -1]  # (B,)
 
     rank_seed = jnp.where(is_root, ranks, _INF)
-    first_r = sweep(rank_seed)
     rank_img, _, _ = jax.lax.while_loop(
-        cond, body, (first_r, rank_seed, jnp.int32(1))
+        cond, body, (rank_seed, rank_seed, jnp.int32(0))
     )
     compact = jnp.where(fg, rank_img, 0)
     return compact.reshape(batch_shape + (H, W)), n_regions.reshape(batch_shape)

@@ -71,7 +71,10 @@ def threshold_measure(
     props = {k: v[:, 1] for k, v in props.items()}
 
     # Filled area: total minus border-connected background (4-conn).
-    bg_lab, n_bg = label(~mask, connectivity=1)
+    # pallas=False: the crops are small and this stage traces per shape
+    # bucket — Mosaic kernel compiles (~45 s each through a tunnel) would
+    # dwarf the XLA formulation's runtime (see ops/label.py docstring).
+    bg_lab, n_bg = label(~mask, connectivity=1, pallas=False)
     N, H, W = mask.shape
     border = jnp.zeros((H, W), bool)
     border = border.at[0, :].set(True).at[-1, :].set(True)

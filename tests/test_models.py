@@ -120,7 +120,7 @@ class TestJaxInference:
                 pred = JaxInference(tiny_unet, img, is_batch=True)
                 node = pred.node
                 inner_step = node._step
-                node._step = lambda x: shapes_seen.append(x.shape) or inner_step(x)
+                node._step = lambda p, x: shapes_seen.append(x.shape) or inner_step(p, x)
 
         objs = p.run()
         assert len(objs) == 7
