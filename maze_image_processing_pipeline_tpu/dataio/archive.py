@@ -231,6 +231,16 @@ class ArchivePath:
     def read_text(self, encoding: str = "utf-8") -> str:
         return self.read_bytes().decode(encoding)
 
+    # Members that are already compressed: deflating them again wastes the
+    # (single) host core for ~0 size win.
+    _STORED_SUFFIXES = (".png", ".jpg", ".jpeg", ".zip", ".gz")
+
     def write_bytes(self, data: bytes) -> None:
+        if self.archive.is_zip and self.rel.lower().endswith(
+            self._STORED_SUFFIXES
+        ):
+            zf = self.archive._ensure_zip()
+            zf.writestr(self.rel, data, compress_type=zipfile.ZIP_STORED)
+            return
         with self.open("wb") as f:
             f.write(data)

@@ -555,6 +555,13 @@ class Runner(PipelineRunner):
                     batch_size=None if is_batch else 8,
                     pre_transform=pre_transform,
                     mesh=mesh,
+                    # Halve the device→host fetch for mask/probability
+                    # consumers (the dominant cost on tunneled hosts), but
+                    # keep full precision when raw outputs are persisted as
+                    # deep features (HDF5).
+                    transfer_dtype=(
+                        None if config.save_raw_h5 else np.float16
+                    ),
                 )
 
             if config.save_raw_h5:
