@@ -116,6 +116,7 @@ def _per_pixel_perimeter(labels: jnp.ndarray) -> jnp.ndarray:
         "compute_histogram",
         "hist_row_chunk",
         "n_feret_angles",
+        "return_row_extremes",
     ),
 )
 def regionprops_fused(
@@ -126,6 +127,7 @@ def regionprops_fused(
     compute_histogram: bool = True,
     hist_row_chunk: int = 128,
     n_feret_angles: int = 16,
+    return_row_extremes: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Measure all regions of a batch of label images without scatters.
 
@@ -191,10 +193,12 @@ def regionprops_fused(
     max_col = jnp.max(jnp.where(col_present, ww, -1.0), axis=1) + 1
 
     feret = None
-    if n_feret_angles:
+    rowminx = rowmaxx = None
+    if n_feret_angles or return_row_extremes:
         ww_hw = jnp.arange(W, dtype=jnp.float32)[None, None, :, None]
         rowminx = jnp.min(jnp.where(oh, ww_hw, jnp.float32(1e9)), axis=2)
         rowmaxx = jnp.max(jnp.where(oh, ww_hw, jnp.float32(-1e9)), axis=2)
+    if n_feret_angles:
         feret = feret_from_row_extremes(
             rowminx, rowmaxx, row_present, n_angles=n_feret_angles
         )
@@ -228,6 +232,12 @@ def regionprops_fused(
     }
     if feret is not None:
         props["feret_diameter_max"] = feret
+    if return_row_extremes:
+        # (..., H, R): exact convex-hull support points (hull vertices are a
+        # subset of per-row x extremes) for host-side hull computations.
+        props["rowminx"] = rowminx
+        props["rowmaxx"] = rowmaxx
+        props["row_present"] = row_present.astype(jnp.float32)
 
     if inten is not None:
         s1 = reduce_hw(inten)

@@ -30,8 +30,12 @@ from ..engine import (
     BatchedPipeline,
     Call,
     Filter,
+    Node,
+    Output,
     Pipeline,
     Progress as LiveProgress,
+    RawOrVariable,
+    ReturnOutputs,
     Slice,
     StreamObject,
     TiledPipeline,
@@ -71,6 +75,121 @@ def _convex_area(mask: np.ndarray) -> float:
     canvas = np.zeros(mask.shape, np.uint8)
     cv2.fillPoly(canvas, [hull], 1)
     return float(canvas.sum())
+
+
+@ReturnOutputs
+@Output("meta")
+class BatchedSegmentMeasure(Node):
+    """Device-batched :func:`measure_segments` (the ``draw: false`` path).
+
+    Collects up to ``chunk_size`` consecutive objects, groups their
+    probability maps into pow2-padded shape buckets, and measures every
+    channel of a bucket in one jitted program per channel
+    (:func:`..ops.segment_measure.measure_largest_component`); the exact
+    filled convex hull is computed on host from the largest component's
+    per-row x extremes. Re-emits the chunk in arrival order. Output meta
+    is identical to the host path (parity-tested).
+    """
+
+    def __init__(
+        self,
+        meta: RawOrVariable,
+        predictions: RawOrVariable,
+        channel_names: Sequence[str],
+        fill_holes: Any = False,
+        chunk_size: int = 128,
+    ) -> None:
+        self.meta = meta
+        self.predictions = predictions
+        self.channel_names = list(channel_names)
+        self.fill_holes = fill_holes
+        self.chunk_size = chunk_size
+        super().__init__()
+
+    def _input_names(self):
+        return ("meta", "predictions")
+
+    def transform_stream(self, stream):
+        from ..engine.core import closing_if_closable
+
+        with closing_if_closable(stream):
+            pending = []
+            for obj in stream:
+                pending.append(obj)
+                if len(pending) >= self.chunk_size:
+                    yield from self._flush(pending)
+                    pending = []
+            if pending:
+                yield from self._flush(pending)
+
+    def _flush(self, objs):
+        import jax.numpy as jnp
+
+        from ..ops.segment_measure import (
+            convex_area_from_extremes,
+            measure_largest_component,
+        )
+
+        probs = [
+            np.asarray(self.prepare_input(obj, "predictions")) for obj in objs
+        ]
+        metas = [
+            {
+                k: v
+                for k, v in dict(self.prepare_input(obj, "meta")).items()
+                if k.split("_", maxsplit=1)[0] in VALID_PREFIXES
+            }
+            for obj in objs
+        ]
+
+        buckets: Dict[tuple, list] = {}
+        for i, p in enumerate(probs):
+            hb = max(8, 1 << int(p.shape[0] - 1).bit_length())
+            wb = max(128, 1 << int(p.shape[1] - 1).bit_length())
+            buckets.setdefault((hb, wb), []).append(i)
+
+        for (hb, wb), idxs in buckets.items():
+            nb = max(8, 1 << int(len(idxs) - 1).bit_length())
+            for c, channel_name in enumerate(self.channel_names):
+                batch = np.zeros((nb, hb, wb), bool)
+                for j, i in enumerate(idxs):
+                    h, w = probs[i].shape[:2]
+                    batch[j, :h, :w] = probs[i][..., c] > 0.5
+                fill = self.fill_holes is True or (
+                    self.fill_holes and channel_name in self.fill_holes
+                )
+                props, raw, extremes = measure_largest_component(
+                    jnp.asarray(batch), fill_holes=bool(fill)
+                )
+                props = {k: np.asarray(v) for k, v in props.items()}
+                raw = np.asarray(raw)
+                extremes = np.asarray(extremes)
+                for j, i in enumerate(idxs):
+                    m = metas[i]
+                    m[f"object_{channel_name}_raw_area"] = int(raw[j])
+                    area = float(props["area"][j])
+                    if area > 0:
+                        convex = convex_area_from_extremes(
+                            extremes[j], (hb, wb)
+                        )
+                        m[f"object_{channel_name}_area"] = area
+                        m[f"object_{channel_name}_axis_major_length"] = float(
+                            props["axis_major_length"][j]
+                        )
+                        m[f"object_{channel_name}_area_convex"] = convex
+                        m[f"object_{channel_name}_area_convex_ratio"] = (
+                            area / convex if convex else 0
+                        )
+                    else:
+                        m[f"object_{channel_name}_area"] = 0
+                        m[f"object_{channel_name}_axis_major_length"] = 0
+                        m[f"object_{channel_name}_area_convex"] = 0
+                        m[f"object_{channel_name}_area_convex_ratio"] = 0
+
+        out_var = self.output_vars[0]
+        for obj, m in zip(objs, metas):
+            obj[out_var] = m
+            yield obj
 
 
 def measure_segments(
@@ -583,16 +702,27 @@ class Runner(PipelineRunner):
                 if output_description.channel_names is None:
                     raise ValueError(f"Supply channel_names for output '{output_name}'")
 
-                meta_images = Call(
-                    measure_segments,
-                    Call(lambda o: o.meta, et_obj),
-                    image,
-                    predictions,
-                    list(output_description.channel_names),
-                    config.segmentation.draw,
-                    config.segmentation.fill_holes,
-                )
-                meta, fnames_images = meta_images.unpack(2)
+                if config.segmentation.draw:
+                    # Overlay drawing needs the masks on host — per-object
+                    # host path (reference parity).
+                    meta_images = Call(
+                        measure_segments,
+                        Call(lambda o: o.meta, et_obj),
+                        image,
+                        predictions,
+                        list(output_description.channel_names),
+                        config.segmentation.draw,
+                        config.segmentation.fill_holes,
+                    )
+                    meta, fnames_images = meta_images.unpack(2)
+                else:
+                    meta = BatchedSegmentMeasure(
+                        Call(lambda o: o.meta, et_obj),
+                        predictions,
+                        list(output_description.channel_names),
+                        config.segmentation.fill_holes,
+                    )
+                    fnames_images = []
                 EcotaxaWriter(measurements_fn, fnames_images, meta=meta)
 
             if config.polytaxo is not False:

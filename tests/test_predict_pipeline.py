@@ -295,3 +295,55 @@ class TestPredictEndToEnd:
         df = read_tsv(Archive(poly_fn) / "ecotaxa_export.tsv")
         assert len(df) == 3
         assert "object_annotation_category" in df.columns
+
+
+def test_batched_segment_measure_matches_host(rng):
+    """Device-batched channel measurement == per-object host
+    measure_segments (reference contract predict/pipeline.py:59-180),
+    including exact convex areas from row extremes."""
+    from maze_image_processing_pipeline_tpu.engine import Call, Pipeline, Unpack
+    from maze_image_processing_pipeline_tpu.predict.pipeline import (
+        BatchedSegmentMeasure,
+        measure_segments,
+    )
+
+    names = ["Prosoma", "Oilsack"]
+    crops = []
+    for i in range(7):
+        h = int(rng.integers(24, 120))
+        w = int(rng.integers(24, 200))
+        p = np.zeros((h, w, 2), np.float32)
+        yy, xx = np.mgrid[:h, :w]
+        for c in range(2):
+            for _ in range(int(rng.integers(0, 3))):
+                cy, cx = rng.integers(4, h - 4), rng.integers(4, w - 4)
+                r = int(rng.integers(3, min(h, w) // 3))
+                d2 = (yy - cy) ** 2 + (xx - cx) ** 2
+                blob = d2 <= r * r
+                if r > 5 and rng.random() < 0.5:
+                    blob &= d2 >= (r // 2) ** 2  # ring: holes
+                p[..., c][blob] = 0.9
+        crops.append(p)
+
+    meta0 = {"object_id": "x", "ignored_prefix_foo": 1}
+
+    host = [
+        measure_segments(dict(meta0), None, p, names, False, fill_holes=True)[0]
+        for p in crops
+    ]
+
+    dev_out = []
+    with Pipeline() as pl:
+        probs = Unpack(crops)
+        meta = BatchedSegmentMeasure(meta0, probs, names, True, chunk_size=3)
+        Call(lambda m: dev_out.append(m), meta)
+    pl.run()
+
+    assert len(dev_out) == len(host)
+    for i, (a, b) in enumerate(zip(host, dev_out)):
+        assert set(a) == set(b), f"crop {i}: {set(a) ^ set(b)}"
+        for k in a:
+            if isinstance(a[k], (int, float)):
+                assert b[k] == pytest.approx(a[k], rel=2e-3, abs=0.51), (
+                    f"crop {i} {k}: host={a[k]} dev={b[k]}"
+                )
