@@ -96,6 +96,15 @@ class SegmentationConfig(TrueToDefaultsModel):
         False,
         description="Fill holes in segments. Can be boolean or a list of channel names.",
     )
+    device: bool = Field(
+        False,
+        description=(
+            "Measure channel segments batched on the accelerator "
+            "(BatchedSegmentMeasure). Wins on locally attached TPUs; on "
+            "remote-tunnel hosts the per-bucket dispatch latency makes the "
+            "host path faster (BASELINE.md). Ignored when draw is true."
+        ),
+    )
 
 
 class PolyTaxoConfig(BaseModel):

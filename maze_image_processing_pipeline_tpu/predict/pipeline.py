@@ -702,9 +702,10 @@ class Runner(PipelineRunner):
                 if output_description.channel_names is None:
                     raise ValueError(f"Supply channel_names for output '{output_name}'")
 
-                if config.segmentation.draw:
-                    # Overlay drawing needs the masks on host — per-object
-                    # host path (reference parity).
+                if config.segmentation.draw or not config.segmentation.device:
+                    # Overlay drawing needs the masks on host; the host path
+                    # is also the default on remote-tunnel hosts (see
+                    # SegmentationConfig.device).
                     meta_images = Call(
                         measure_segments,
                         Call(lambda o: o.meta, et_obj),

@@ -83,7 +83,7 @@ def test_full_haul(tmp_path):
                 "tiling": {"size": 64, "stride": 48},
             },
             "save_raw_h5": True,
-            "segmentation": {"draw": False, "fill_holes": True},
+            "segmentation": {"draw": False, "fill_holes": True, "device": True},
             "target_dir": semseg_out,
         }
     )
