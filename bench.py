@@ -6,7 +6,7 @@ The JSON line also carries ``extras`` covering the model paths
 
 * ``unet_tile_fps``: U-Net semantic segmentation of 1024² grayscale tiles
   (the reference's accelerator inference node, tile size 1024 at
-  ``loki/pipeline.py:513``), bf16, batch 4 — tiles/s/chip, vs the same
+  ``loki/pipeline.py:513``), bf16, batch 8 — tiles/s/chip, vs the same
   architecture in eager PyTorch on ONE CPU core (the reference's runtime),
   extrapolated linearly in pixels from a 256² tile.
 * ``crops_per_sec_b256``: semseg U-Net + polytaxo classifier per crop
@@ -188,7 +188,7 @@ def _bench_jit_loop(fn, args, k, n_items):
     return n_items / ((t_k - t_1) / (k - 1))
 
 
-def bench_unet_tiles_tpu(batch: int = 4, tile: int = 1024, k: int = 6) -> float:
+def bench_unet_tiles_tpu(batch: int = 8, tile: int = 1024, k: int = 6) -> float:
     """U-Net 1024²-tile inference, bf16 — tiles/s/chip."""
     import jax
     import jax.numpy as jnp
@@ -365,7 +365,7 @@ def main() -> None:
             unet_cpu, crops_cpu = bench_models_cpu_torch()
             extras["unet_tile_fps"] = {
                 "value": round(unet_fps, 2),
-                "unit": "1024x1024x1 tiles/s, bf16, batch 4",
+                "unit": "1024x1024x1 tiles/s, bf16, batch 8",
                 "vs_cpu_torch_1core": round(unet_fps / unet_cpu, 1),
             }
         if time.perf_counter() - t_start < budget_s:
