@@ -854,15 +854,6 @@ def build_jax_segmentation(
         props=props,
     )
 
-    roi = ExtractROI(
-        image,
-        region,
-        alpha=1 if config.apply_mask else 0,
-        bg_color=config.background_color,
-        keep_background=config.keep_background,
-        labels=labels,
-    )
-
     def recalc_metadata(region, m):
         m = dict(m)
         y0, x0, y1, x1 = region.bbox
@@ -877,10 +868,30 @@ def build_jax_segmentation(
         )
         return m
 
-    meta = Call(recalc_metadata, region, meta)
-    meta = CalculateZooProcessFeatures(region, meta, prefix="object_")
+    # Per-object host work (crop masking, metadata, ZooProcess assembly)
+    # thread-parallelizes on multi-core hosts; the order-preserving
+    # DataParallelPipeline keeps dedup/writers downstream correct.
+    # (Reference knob: loki/config_schema.py:66-68.)
+    with contextlib.ExitStack() as region_stack:
+        if config.n_threads > 1:
+            from ..engine import DataParallelPipeline
 
-    mask = Call(lambda r: r.image, region)
+            region_stack.enter_context(
+                DataParallelPipeline(executor=config.n_threads)
+            )
+
+        roi = ExtractROI(
+            image,
+            region,
+            alpha=1 if config.apply_mask else 0,
+            bg_color=config.background_color,
+            keep_background=config.keep_background,
+            labels=labels,
+        )
+        meta = Call(recalc_metadata, region, meta)
+        meta = CalculateZooProcessFeatures(region, meta, prefix="object_")
+        mask = Call(lambda r: r.image, region)
+
     return roi, meta, mask
 
 

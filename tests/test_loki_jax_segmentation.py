@@ -184,3 +184,45 @@ def test_device_blend_matches_host_blend(tmp_path, model_dir):
             atol=0.51,
             err_msg=col,
         )
+
+
+def test_n_threads_parallel_host_region(tmp_path, model_dir):
+    """loki's n_threads knob (reference loki/config_schema.py:66-68) wraps
+    the per-object host region in the order-preserving
+    DataParallelPipeline; output must match the serial run."""
+    make_loki_sample(
+        str(tmp_path / "data"), n_frames=2, objects_per_frame=3,
+        frame_shape=(280, 360),
+    )
+
+    def run(n_threads, out):
+        Runner._configure_and_run(
+            {
+                "input": {"path": str(tmp_path / "data")},
+                "segmentation": {
+                    "jax": {
+                        "model_fn": model_dir,
+                        "dtype": "float32",
+                        "tile_size": 128,
+                        "tile_stride": 96,
+                        "n_threads": n_threads,
+                        "postprocess": {"min_area": 20, "closing_radius": 1},
+                    }
+                },
+                "postprocess": {},
+                "output": {"target_dir": str(tmp_path / out)},
+            }
+        )
+        return read_tsv(
+            Archive(os.path.join(str(tmp_path / out), "LOKI_PS122-1_7.zip"))
+            / "ecotaxa_export.tsv"
+        )
+
+    df1 = run(0, "out_serial")
+    df4 = run(4, "out_threads")
+    assert len(df1) == len(df4)
+    assert list(df1["object_id"]) == list(df4["object_id"])  # order preserved
+    np.testing.assert_allclose(
+        df1["object_area"].to_numpy(np.float64),
+        df4["object_area"].to_numpy(np.float64),
+    )
