@@ -119,7 +119,7 @@ class JaxSegmentationConfig(DefaultModel):
     )
 
     frame_batch: int = Field(
-        4,
+        8,
         description=(
             "Stitched frames postprocessed per device dispatch (the CCL "
             "stages are latency-bound, so a batch costs barely more than "

@@ -394,34 +394,50 @@ def _make_frame_chain(cfg: SegmentationPostprocessingConfig):
         if not _PROP_PACK_KEYS:
             _PROP_PACK_KEYS.extend(keys)
         packed = jnp.stack([props[k] for k in keys])
-        return (
-            labels.astype(jnp.uint16),
-            n,
-            packed,
-            props["histogram"],
+        # ONE flat f32 result: a device→host fetch costs ~4.8 s fixed
+        # latency through this host's tunnel regardless of size
+        # (BASELINE.md), so labels + counts + stats + histograms ride a
+        # single transfer. Label ids ≤ 4·max_regions are exact in f32.
+        return jnp.concatenate(
+            [
+                labels.astype(jnp.float32).reshape(-1),
+                n.astype(jnp.float32).reshape(-1),
+                packed.reshape(-1),
+                props["histogram"].reshape(-1),
+            ]
         )
 
     return chain
 
 
-def _unpack_frame_result(dev_out, H, W):
-    """Fetch + unpack one frame's device results (4 transfers)."""
-    labels_d, n_d, packed_d, hist_d = dev_out
-    labels = np.asarray(labels_d)[:H, :W].astype(np.int32)
-    n = int(n_d)
-    packed = np.asarray(packed_d)
+def _unpack_frame_result(dev_out, Hp, Wp, H, W):
+    """Fetch + unpack one frame's device results (ONE transfer)."""
+    flat = np.asarray(dev_out)
+    K = len(_PROP_PACK_KEYS)
+    R = (flat.size - Hp * Wp - 1) // (K + 256)
+    o = Hp * Wp
+    labels = flat[:o].reshape(Hp, Wp)[:H, :W].astype(np.int32)
+    n = int(flat[o])
+    o += 1
+    packed = flat[o : o + K * R].reshape(K, R)
+    o += K * R
     props = {k: packed[i] for i, k in enumerate(_PROP_PACK_KEYS)}
-    props["histogram"] = np.asarray(hist_d)
+    props["histogram"] = flat[o:].reshape(R, 256)
     return labels, n, props
 
 
-def _unpack_frame_batch(dev_out, dims):
-    """Fetch + unpack a frame GROUP's device results (4 transfers total)."""
-    labels_d, n_d, packed_d, hist_d = dev_out
-    labels_all = np.asarray(labels_d)  # (B, Hb, Wb) uint16
-    n_all = np.asarray(n_d)
-    packed_all = np.asarray(packed_d)  # (K, B, R)
-    hist_all = np.asarray(hist_d)  # (B, R, 256)
+def _unpack_frame_batch(dev_out, dims, Hb, Wb, B):
+    """Fetch + unpack a frame GROUP's device results (ONE transfer)."""
+    flat = np.asarray(dev_out)
+    K = len(_PROP_PACK_KEYS)
+    R = (flat.size - B * Hb * Wb - B) // (B * (K + 256))
+    o = B * Hb * Wb
+    labels_all = flat[:o].reshape(B, Hb, Wb)
+    n_all = flat[o : o + B]
+    o += B
+    packed_all = flat[o : o + K * B * R].reshape(K, B, R)
+    o += K * B * R
+    hist_all = flat[o:].reshape(B, R, 256)
     out = []
     for b, (H, W) in enumerate(dims):
         labels = labels_all[b, :H, :W].astype(np.int32)
@@ -626,9 +642,9 @@ class DeviceTiledSegmentation(Node):
         B = self._frame_batch
 
         def emit(entry):
-            objs, dev_out, dims = entry
+            objs, dev_out, dims, (Hb, Wb) = entry
             for obj, (labels, n, props) in zip(
-                objs, _unpack_frame_batch(dev_out, dims)
+                objs, _unpack_frame_batch(dev_out, dims, Hb, Wb, B)
             ):
                 labels, props, n = _finalize_frame(
                     labels, n, props, self._post_cfg
@@ -655,7 +671,7 @@ class DeviceTiledSegmentation(Node):
             group_idx += 1
             if device is not None:
                 imgs = jax.device_put(imgs, device)
-            pending.append((objs, fn(imgs, hs, ws), dims))
+            pending.append((objs, fn(imgs, hs, ws), dims, (Hb, Wb)))
 
         with closing_if_closable(stream):
             for obj in stream:
@@ -737,7 +753,9 @@ class DeviceFramePostprocess(Node):
 
         def emit(entry):
             obj, dev_out, (H, W) = entry
-            labels, n, props = _unpack_frame_result(dev_out, H, W)
+            Hp = -(-H // self.bucket) * self.bucket
+            Wp = -(-W // self.bucket) * self.bucket
+            labels, n, props = _unpack_frame_result(dev_out, Hp, Wp, H, W)
             labels, props, n = _finalize_frame(labels, n, props, self.config)
             self.prepare_output(obj, labels, props, n)
             return obj

@@ -57,7 +57,7 @@ class ProgressLogger:
         unit: str = "it",
         number_format: Optional[str] = "si",
         smoothing: float = 0.5,
-        smoothing_min_n_done: float = 0,
+        ema_warmup_count: float = 0,
     ) -> None:
         if smoothing <= 0.0 or smoothing > 1.0:
             raise ValueError(f"smoothing must be in (0, 1], got {smoothing}")
@@ -67,14 +67,14 @@ class ProgressLogger:
         self.unit = unit
         self.number_format = number_format
         self.smoothing = smoothing
-        self.smoothing_min_n_done = smoothing_min_n_done
+        self.ema_warmup_count = ema_warmup_count
 
         self.n_done = 0
         self.t_last_update = time.time()
         self.elapsed = 0.0
-        self.t_last_log: Optional[float] = None
-        self.n_done_last_log = 0
-        self.rate_last_log: Optional[float] = None
+        self._last_emit_t: Optional[float] = None
+        self._count_at_emit = 0
+        self._ema_rate: Optional[float] = None
 
     def update(self, n: int = 1) -> None:
         now = time.time()
@@ -82,23 +82,23 @@ class ProgressLogger:
         self.t_last_update = now
         self.n_done += n
 
-        if self.t_last_log is not None and now <= self.t_last_log + self.log_interval:
+        if self._last_emit_t is not None and now <= self._last_emit_t + self.log_interval:
             return
 
-        if self.t_last_log is None:
+        if self._last_emit_t is None:
             rate = self.n_done / max(self.elapsed, 1e-9)
         else:
-            dt = now - self.t_last_log
-            rate = (self.n_done - self.n_done_last_log) / max(dt, 1e-9)
+            dt = now - self._last_emit_t
+            rate = (self.n_done - self._count_at_emit) / max(dt, 1e-9)
             if (
-                self.rate_last_log is not None
-                and self.n_done >= self.smoothing_min_n_done
+                self._ema_rate is not None
+                and self.n_done >= self.ema_warmup_count
             ):
-                rate = self.smoothing * self.rate_last_log + (1 - self.smoothing) * rate
+                rate = self.smoothing * self._ema_rate + (1 - self.smoothing) * rate
 
-        self.t_last_log = now
-        self.n_done_last_log = self.n_done
-        self.rate_last_log = rate
+        self._last_emit_t = now
+        self._count_at_emit = self.n_done
+        self._ema_rate = rate
 
         parts = []
         if self.n_total:
@@ -135,14 +135,14 @@ class LogProgress(Node):
         unit: str = "it",
         number_format: Optional[str] = "si",
         smoothing: float = 0.5,
-        smoothing_min_n_done: float = 0,
+        ema_warmup_count: float = 0,
     ) -> None:
         self.description = description
         self.log_interval = log_interval
         self.unit = unit
         self.number_format = number_format
         self.smoothing = smoothing
-        self.smoothing_min_n_done = smoothing_min_n_done
+        self.ema_warmup_count = ema_warmup_count
         super().__init__()
 
     def transform_stream(self, stream: Stream) -> Stream:
@@ -151,7 +151,7 @@ class LogProgress(Node):
             unit=self.unit,
             number_format=self.number_format,
             smoothing=self.smoothing,
-            smoothing_min_n_done=self.smoothing_min_n_done,
+            ema_warmup_count=self.ema_warmup_count,
         )
         with closing_if_closable(stream):
             for n_processed, obj in enumerate(stream):
