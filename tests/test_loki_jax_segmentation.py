@@ -226,3 +226,54 @@ def test_n_threads_parallel_host_region(tmp_path, model_dir):
         df1["object_area"].to_numpy(np.float64),
         df4["object_area"].to_numpy(np.float64),
     )
+
+
+def test_device_tiled_segmentation_mixed_buckets(model_dir):
+    """Frames of different bucket sizes interleaved: groups flush on bucket
+    switches and objects re-emit in arrival order with correct labels."""
+    import jax.numpy as jnp
+
+    from maze_image_processing_pipeline_tpu.engine import Call, Pipeline, Unpack
+    from maze_image_processing_pipeline_tpu.loki.config_schema import (
+        JaxSegmentationConfig,
+        SegmentationPostprocessingConfig,
+    )
+    from maze_image_processing_pipeline_tpu.loki.pipeline import (
+        DeviceTiledSegmentation,
+    )
+    from maze_image_processing_pipeline_tpu.models import load_model
+
+    rng = np.random.default_rng(5)
+    frames = []
+    blob_counts = []
+    sizes = [(200, 260), (300, 380), (200, 260), (200, 260), (300, 380)]
+    for H, W in sizes:
+        img = (rng.random((H, W)) * 40).astype(np.uint8)
+        n_blobs = int(rng.integers(1, 4))
+        yy, xx = np.mgrid[:H, :W]
+        for b in range(n_blobs):
+            cy = 30 + 60 * b
+            cx = int(rng.integers(30, W - 30))
+            img[(yy - cy) ** 2 + (xx - cx) ** 2 <= 100] = 200
+        frames.append(img)
+        blob_counts.append(n_blobs)
+
+    cfg = JaxSegmentationConfig(
+        model_fn=model_dir,
+        dtype="float32",
+        tile_size=128,
+        tile_stride=96,
+        frame_batch=2,
+    )
+    post = SegmentationPostprocessingConfig(min_area=20)
+    model = load_model(model_dir, dtype="float32")
+
+    results = []
+    with Pipeline() as p:
+        img = Unpack(frames)
+        labels, props, n = DeviceTiledSegmentation(img, model, cfg, post)
+        Call(lambda lab, nn: results.append((lab.shape, int(nn))), labels, n)
+    p.run()
+
+    assert [r[0] for r in results] == [f.shape for f in frames]  # order kept
+    assert [r[1] for r in results] == blob_counts

@@ -49,3 +49,31 @@ class TestNativeBmp:
         assert data[:2] == b"BM"
         back = decode_image(data, mode="L")
         np.testing.assert_array_equal(back, img)
+
+
+def test_native_png_encode_roundtrip(rng):
+    import cv2
+
+    from maze_image_processing_pipeline_tpu import native
+    from maze_image_processing_pipeline_tpu.dataio.imageio import (
+        decode_image,
+        encode_image,
+    )
+
+    img = (rng.random((60, 90)) * 255).astype(np.uint8)
+    data = native.png_encode(img)
+    if data is None:
+        pytest.skip("native library unavailable")
+    dec = cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_UNCHANGED)
+    np.testing.assert_array_equal(dec, img)
+
+    rgb = np.stack([img, img // 2, 255 - img], axis=-1)
+    dec3 = cv2.imdecode(
+        np.frombuffer(native.png_encode(rgb), np.uint8), cv2.IMREAD_UNCHANGED
+    )
+    np.testing.assert_array_equal(cv2.cvtColor(dec3, cv2.COLOR_BGR2RGB), rgb)
+
+    # The dataio encode path roundtrips through its own decoder too.
+    np.testing.assert_array_equal(
+        decode_image(encode_image(img, "x.png"), mode="L"), img
+    )
