@@ -109,8 +109,12 @@ def group_norm_pallas(
 
     TH = tile_rows
     if not TH:
-        # ~2 MiB bf16 blocks; at least 8 rows.
-        TH = max(8, min(H, (2 * 1024 * 1024) // max(1, W * C * 2)))
+        # Budget ~8 MiB effective block: Mosaic pads the lane (channel)
+        # dimension to 128, so narrow channels occupy 128/C× their nominal
+        # bytes — ignoring that OOMed the 64 MiB scoped VMEM in the train
+        # step at (4, 256, 256, 16) (caught by the TPU train smoke).
+        c_eff = max(C, 128)
+        TH = max(8, min(H, (8 * 1024 * 1024) // max(1, W * c_eff * 2)))
         TH = 1 << (TH.bit_length() - 1)
     n_h = -(-H // TH)
     H_pad = n_h * TH
