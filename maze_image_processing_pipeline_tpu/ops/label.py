@@ -148,7 +148,7 @@ def _vertical_pass(
 def label(
     mask: jnp.ndarray,
     connectivity: int = 2,
-    max_iters: int = 64,
+    max_iters: int = 256,
     pallas: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Label connected components of a boolean mask.
@@ -158,7 +158,10 @@ def label(
         connectivity: 2 = 8-connected (skimage.measure.label default used by
             the reference), 1 = 4-connected.
         max_iters: fixpoint iteration cap (each iteration is a full
-            horizontal+down+up sweep).
+            horizontal+down+up sweep). The loop exits as soon as labels
+            stop changing, so the cap only bounds pathological serpentine
+            masks (S switchbacks need ~S/2 sweeps); blob-like masks
+            converge in 1-2.
         pallas: allow the Pallas lane-scan kernels (fastest steady-state on
             TPU, but every pallas_call instance costs a Mosaic kernel
             compilation at TRACE time — ~45 s each through this host's

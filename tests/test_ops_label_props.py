@@ -212,3 +212,22 @@ class TestFillHoles:
         ring = (rr <= 100) & (rr >= 36)
         ours = np.asarray(rp.fill_holes(ring))
         np.testing.assert_array_equal(ours, ndi.binary_fill_holes(ring))
+
+
+def test_label_serpentine_convergence():
+    """Worst-case fixpoint convergence: a serpentine (boustrophedon) snake
+    needs ~one sweep per switchback; the cap must comfortably cover
+    realistic mask sizes and the result must match scipy exactly."""
+    H, W = 128, 96
+    mask = np.zeros((H, W), bool)
+    for k, y in enumerate(range(0, H - 2, 4)):
+        mask[y, 1:-1] = True
+        x = W - 2 if k % 2 == 0 else 1
+        mask[y : y + 5, x] = True
+    mask[-1, :] = False
+
+    lab, n = label_mod.label(mask, connectivity=2)
+    ref, n_ref = ndi.label(mask, structure=np.ones((3, 3)))
+    assert int(np.asarray(n)) == n_ref == 1
+    np.testing.assert_array_equal(np.asarray(lab) > 0, ref > 0)
+    assert np.unique(np.asarray(lab)[np.asarray(lab) > 0]).size == 1

@@ -160,6 +160,7 @@ def main() -> None:
                 "jax": {
                     "model_fn": loki_unet,
                     "batch_size": 4,
+                    "frame_batch": int(os.environ.get("E2E_FRAME_BATCH", "8")),
                     "tile_size": 1024,
                     "tile_stride": 896,
                     "postprocess": {"min_area": 30, "closing_radius": 2},
