@@ -154,7 +154,9 @@ class FindRegions(Node):
                 area = float(props["area"])
             else:
                 single = host_region_props(mask_crop, inten_crop)
-                props = {k: v[1] if v.ndim == 1 else v[1] for k, v in single.items()}
+                # host_region_props returns (2,)-shaped [background, region]
+                # arrays for a single-region mask; keep the region row.
+                props = {k: v[1] for k, v in single.items()}
                 # Shift bbox/centroid keys from crop coords to frame coords.
                 for key, off in (
                     ("min_row", y0),
@@ -284,10 +286,7 @@ class ImageProperties(Node):
 
     def transform(self, mask, image):
         mask = np.asarray(mask, bool)
-        props = {
-            k: (v[1] if getattr(v, "ndim", 0) == 1 else v[1])
-            for k, v in host_region_props(mask, np.asarray(image)).items()
-        }
+        props = {k: v[1] for k, v in host_region_props(mask, np.asarray(image)).items()}
         filled = ndi.binary_fill_holes(mask)
         return {"__props__": props, "__area_filled__": float(filled.sum())}
 
@@ -340,10 +339,7 @@ class BatchedImageProperties(Node):
 
     def _host(self, img: np.ndarray) -> Dict[str, Any]:
         mask = np.asarray(img) > self.threshold
-        props = {
-            k: (v[1] if getattr(v, "ndim", 0) == 1 else v[1])
-            for k, v in host_region_props(mask, np.asarray(img)).items()
-        }
+        props = {k: v[1] for k, v in host_region_props(mask, np.asarray(img)).items()}
         filled = ndi.binary_fill_holes(mask)
         return {"__props__": props, "__area_filled__": float(filled.sum())}
 

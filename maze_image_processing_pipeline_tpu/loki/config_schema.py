@@ -138,7 +138,12 @@ class JaxSegmentationConfig(DefaultModel):
 
     full_frame_archive_fn: Optional[str] = Field(
         None,
-        description="Write segmented full-frames to this file in the target directory (debug).",
+        description=(
+            "Write segmented full-frames to this file in the target directory "
+            "(debug). NOTE: the debug dump needs the blended prediction on "
+            "the host, so setting this falls back to the host-blend tile "
+            "path (as if device_blend were false) — expect a slower run."
+        ),
         json_schema_extra={"debug": True},
     )
 

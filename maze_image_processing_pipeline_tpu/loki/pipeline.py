@@ -333,21 +333,20 @@ def build_threshold_segmentation(config: ThresholdSegmentationConfig, image, met
     return image, meta, mask
 
 
-# Packed-props key order, captured at first trace of a frame chain (sorted
-# for stability across the pallas / XLA measurement variants).
-_PROP_PACK_KEYS: list = []
-
-
 def _make_frame_chain(cfg: SegmentationPostprocessingConfig):
     """Build the jitted frame postprocess: mask → morphology → CCL →
     [clear_border] → [remove_small] → fused region measurement.
 
-    Returns ``(labels uint16, n, packed (K, R) f32, hist (R, 256))`` —
-    per-region statistics ride ONE packed matrix so a frame costs 4
-    device→host transfers instead of ~28: each fetch through this host's
-    TPU tunnel costs ~25 ms latency + ~16 MB/s, and transfers dominated
-    the e2e profile (BASELINE.md round-2 findings). uint16 labels halve
-    the big transfer (ids are bounded by 4·max_regions ≤ 65k).
+    Returns ``(chain, pack_keys)``. ``pack_keys`` is the packed-props key
+    order (sorted, histogram excluded); it is filled at the chain's first
+    trace and owned by this chain instance, so two chains with different
+    prop configurations in one process unpack independently.
+
+    The chain returns ONE flat f32 buffer — labels + counts + the packed
+    (K, R) statistics + histograms — so a frame group costs a single
+    device→host transfer: each fetch through this host's TPU tunnel costs
+    ~4.8 s fixed latency regardless of size and transfers dominated the
+    e2e profile (BASELINE.md round-2 findings).
     """
     import jax
     import jax.numpy as jnp
@@ -364,6 +363,8 @@ def _make_frame_chain(cfg: SegmentationPostprocessingConfig):
     # process default to the pure-XLA formulations (~15 ms/frame slower on
     # device, invisible next to host I/O). Opt in via cfg.pallas_kernels.
     use_pallas = cfg.pallas_kernels and jax.default_backend() == "tpu"
+
+    pack_keys: list = []
 
     @jax.jit
     def chain(pred, image):
@@ -391,13 +392,10 @@ def _make_frame_chain(cfg: SegmentationPostprocessingConfig):
                 compute_histogram=True,
             )
         keys = sorted(k for k in props if k != "histogram")
-        if not _PROP_PACK_KEYS:
-            _PROP_PACK_KEYS.extend(keys)
+        if not pack_keys:
+            pack_keys.extend(keys)
         packed = jnp.stack([props[k] for k in keys])
-        # ONE flat f32 result: a device→host fetch costs ~4.8 s fixed
-        # latency through this host's tunnel regardless of size
-        # (BASELINE.md), so labels + counts + stats + histograms ride a
-        # single transfer. Label ids ≤ 4·max_regions are exact in f32.
+        # Label ids ≤ 4·max_regions are exact in f32.
         return jnp.concatenate(
             [
                 labels.astype(jnp.float32).reshape(-1),
@@ -407,13 +405,13 @@ def _make_frame_chain(cfg: SegmentationPostprocessingConfig):
             ]
         )
 
-    return chain
+    return chain, pack_keys
 
 
-def _unpack_frame_result(dev_out, Hp, Wp, H, W):
+def _unpack_frame_result(dev_out, Hp, Wp, H, W, pack_keys):
     """Fetch + unpack one frame's device results (ONE transfer)."""
     flat = np.asarray(dev_out)
-    K = len(_PROP_PACK_KEYS)
+    K = len(pack_keys)
     R = (flat.size - Hp * Wp - 1) // (K + 256)
     o = Hp * Wp
     labels = flat[:o].reshape(Hp, Wp)[:H, :W].astype(np.int32)
@@ -421,15 +419,15 @@ def _unpack_frame_result(dev_out, Hp, Wp, H, W):
     o += 1
     packed = flat[o : o + K * R].reshape(K, R)
     o += K * R
-    props = {k: packed[i] for i, k in enumerate(_PROP_PACK_KEYS)}
+    props = {k: packed[i] for i, k in enumerate(pack_keys)}
     props["histogram"] = flat[o:].reshape(R, 256)
     return labels, n, props
 
 
-def _unpack_frame_batch(dev_out, dims, Hb, Wb, B):
+def _unpack_frame_batch(dev_out, dims, Hb, Wb, B, pack_keys):
     """Fetch + unpack a frame GROUP's device results (ONE transfer)."""
     flat = np.asarray(dev_out)
-    K = len(_PROP_PACK_KEYS)
+    K = len(pack_keys)
     R = (flat.size - B * Hb * Wb - B) // (B * (K + 256))
     o = B * Hb * Wb
     labels_all = flat[:o].reshape(B, Hb, Wb)
@@ -441,7 +439,7 @@ def _unpack_frame_batch(dev_out, dims, Hb, Wb, B):
     out = []
     for b, (H, W) in enumerate(dims):
         labels = labels_all[b, :H, :W].astype(np.int32)
-        props = {k: packed_all[i, b] for i, k in enumerate(_PROP_PACK_KEYS)}
+        props = {k: packed_all[i, b] for i, k in enumerate(pack_keys)}
         props["histogram"] = hist_all[b]
         out.append((labels, int(n_all[b]), props))
     return out
@@ -502,7 +500,7 @@ class DeviceTiledSegmentation(Node):
         self._model = model
         self._cfg = config
         self._post_cfg = postprocess_config
-        self._post = _make_frame_chain(postprocess_config)
+        self._post, self._pack_keys = _make_frame_chain(postprocess_config)
         self._devices = list(mesh.devices.flat) if mesh is not None else [None]
         self._fns: Dict[Tuple[int, int], object] = {}
         self._frame_batch = max(1, getattr(config, "frame_batch", 4))
@@ -644,7 +642,7 @@ class DeviceTiledSegmentation(Node):
         def emit(entry):
             objs, dev_out, dims, (Hb, Wb) = entry
             for obj, (labels, n, props) in zip(
-                objs, _unpack_frame_batch(dev_out, dims, Hb, Wb, B)
+                objs, _unpack_frame_batch(dev_out, dims, Hb, Wb, B, self._pack_keys)
             ):
                 labels, props, n = _finalize_frame(
                     labels, n, props, self._post_cfg
@@ -735,7 +733,7 @@ class DeviceFramePostprocess(Node):
         # is async so all chips run concurrently).
         self._devices = list(mesh.devices.flat) if mesh is not None else [None]
 
-        self._chain = _make_frame_chain(config)
+        self._chain, self._pack_keys = _make_frame_chain(config)
 
     def transform_stream(self, stream):
         import collections
@@ -755,7 +753,9 @@ class DeviceFramePostprocess(Node):
             obj, dev_out, (H, W) = entry
             Hp = -(-H // self.bucket) * self.bucket
             Wp = -(-W // self.bucket) * self.bucket
-            labels, n, props = _unpack_frame_result(dev_out, Hp, Wp, H, W)
+            labels, n, props = _unpack_frame_result(
+                dev_out, Hp, Wp, H, W, self._pack_keys
+            )
             labels, props, n = _finalize_frame(labels, n, props, self.config)
             self.prepare_output(obj, labels, props, n)
             return obj
@@ -923,6 +923,12 @@ def _build_full_frame_debug_output(
 
         lab = np.asarray(lab)
         img = np.asarray(img)
+        # Shape guard, parity with the reference's assert_compatible_shape
+        # (/root/reference/maze_ipp/loki/pipeline.py:386-393).
+        if lab.shape[:2] != img.shape[:2]:
+            raise ValueError(
+                f"labels {lab.shape} and image {img.shape} are incompatible"
+            )
         norm = (lab * 37 % 255).astype(np.uint8)
         color = cv2.applyColorMap(norm, cv2.COLORMAP_JET)
         color[lab == 0] = 0

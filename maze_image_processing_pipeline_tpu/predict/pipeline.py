@@ -609,6 +609,15 @@ class Runner(PipelineRunner):
                 )
                 raise
 
+            # Exactly one model output is supported (reference contract:
+            # /root/reference/maze_ipp/predict/pipeline.py:599-614); report
+            # the offending set instead of dying on a bare unpack error.
+            if len(model_meta.outputs) != 1:
+                raise ValueError(
+                    "The model metadata must declare exactly one output, "
+                    f"got {len(model_meta.outputs)}: "
+                    f"{sorted(model_meta.outputs)}"
+                )
             ((output_name, output_description),) = list(model_meta.outputs.items())
             logger.info(
                 "Output channels '%s': %s", output_name, output_description.channel_names

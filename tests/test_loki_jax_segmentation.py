@@ -277,3 +277,46 @@ def test_device_tiled_segmentation_mixed_buckets(model_dir):
 
     assert [r[0] for r in results] == [f.shape for f in frames]  # order kept
     assert [r[1] for r in results] == blob_counts
+
+
+def test_two_frame_chains_with_different_prop_configs():
+    """Two frame chains in one process unpack independently: the packed
+    prop-key order is owned per chain (it used to be a process-global
+    captured at first trace, which silently mis-unpacked the second chain
+    if key sets or region counts diverged)."""
+    from maze_image_processing_pipeline_tpu.loki.config_schema import (
+        SegmentationPostprocessingConfig,
+    )
+    from maze_image_processing_pipeline_tpu.loki.pipeline import (
+        _make_frame_chain,
+        _unpack_frame_result,
+    )
+
+    cfg_a = SegmentationPostprocessingConfig(min_area=0, max_regions=16)
+    cfg_b = SegmentationPostprocessingConfig(min_area=0, max_regions=64)
+    chain_a, keys_a = _make_frame_chain(cfg_a)
+    chain_b, keys_b = _make_frame_chain(cfg_b)
+    assert keys_a is not keys_b
+    assert keys_a == []  # filled at first trace, not before
+
+    H = W = 128
+    img = np.zeros((H, W), np.uint8)
+    img[10:20, 10:30] = 200
+    img[50:70, 40:60] = 180
+    pred = (img > 100).astype(np.float32)
+
+    out_a = chain_a(pred, img)
+    out_b = chain_b(pred, img)
+    assert keys_a and keys_a == keys_b  # same config family -> same keys
+
+    for out, keys, cfg in ((out_a, keys_a, cfg_a), (out_b, keys_b, cfg_b)):
+        labels, n, props = _unpack_frame_result(out, H, W, H, W, keys)
+        assert n == 2
+        assert props["area"].shape == (cfg.max_regions,)
+        areas = sorted(props["area"][1 : n + 1].tolist())
+        assert areas == [200.0, 400.0]
+        assert props["histogram"].shape == (cfg.max_regions, 256)
+
+    # Per-chain key lists are isolated: clearing one must not affect the other.
+    keys_a.clear()
+    assert keys_b
