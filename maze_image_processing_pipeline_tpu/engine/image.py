@@ -56,9 +56,20 @@ class RegionInfo:
         "image_intensity",
         "props",
         "area_filled",
+        "other_mask",
     )
 
-    def __init__(self, label, bbox, bbox_padded, image, image_intensity, props, area_filled):
+    def __init__(
+        self,
+        label,
+        bbox,
+        bbox_padded,
+        image,
+        image_intensity,
+        props,
+        area_filled,
+        other_mask=None,
+    ):
         self.label = label
         self.bbox = bbox  # (min_row, min_col, max_row, max_col)
         self.bbox_padded = bbox_padded
@@ -66,6 +77,9 @@ class RegionInfo:
         self.image_intensity = image_intensity  # intensity crop (padded bbox)
         self.props = props  # dict of per-region scalars
         self.area_filled = area_filled
+        # Pixels of *other* regions inside the padded bbox (device crop
+        # extraction provides it so ExtractROI needs no label frame).
+        self.other_mask = other_mask
 
     @property
     def area(self) -> float:
@@ -86,6 +100,9 @@ class FindRegions(Node):
         props: optional Variable with precomputed device measurements
             (dict of (R,) arrays from ``regionprops_fused``); when absent,
             regions are measured on host from their crops.
+        regions: optional Variable carrying prebuilt :class:`RegionInfo`
+            lists (device-side crop extraction); when its payload is
+            present the node only applies the gates and fans out.
     """
 
     def __init__(
@@ -97,6 +114,7 @@ class FindRegions(Node):
         padding: int = 0,
         min_intensity: Optional[float] = None,
         props: Optional[RawOrVariable] = None,
+        regions: Optional[RawOrVariable] = None,
     ) -> None:
         self.labels = labels
         self.image = image
@@ -105,21 +123,47 @@ class FindRegions(Node):
         self.padding = padding
         self.min_intensity = min_intensity
         self.props = props
+        self.regions = regions
         super().__init__()
+
+    def _gate(self, region: "RegionInfo") -> bool:
+        area = float(region.props["area"])
+        if self.min_area is not None and area < self.min_area:
+            return False
+        if self.max_area is not None and area > self.max_area:
+            return False
+        if self.min_intensity is not None:
+            imax = region.props.get("intensity_max")
+            if imax is None:
+                imax = np.max(
+                    region.image_intensity[region.image], initial=0
+                )
+            if float(imax) < self.min_intensity:
+                return False
+        return True
 
     def transform_stream(self, stream: Stream) -> Stream:
         est = StreamEstimator()
         with closing_if_closable(stream):
             for obj in stream:
-                labels = np.asarray(self.prepare_input(obj, "labels"))
-                image = np.asarray(self.prepare_input(obj, "image"))
-                device_props = (
-                    self.prepare_input(obj, "props") if self.props is not None else None
+                prebuilt = (
+                    self.prepare_input(obj, "regions")
+                    if self.regions is not None
+                    else None
                 )
-
-                regions = list(
-                    self._iter_regions(labels, image, device_props)
-                )
+                if prebuilt is not None:
+                    regions = [r for r in prebuilt if self._gate(r)]
+                else:
+                    labels = np.asarray(self.prepare_input(obj, "labels"))
+                    image = np.asarray(self.prepare_input(obj, "image"))
+                    device_props = (
+                        self.prepare_input(obj, "props")
+                        if self.props is not None
+                        else None
+                    )
+                    regions = list(
+                        self._iter_regions(labels, image, device_props)
+                    )
                 with est.consume(obj.n_remaining_hint) as incoming:
                     n = len(regions)
                     for i, region in enumerate(regions):
@@ -143,7 +187,9 @@ class FindRegions(Node):
             mask_crop = labels[y0:y1, x0:x1] == label
             inten_crop = image[y0:y1, x0:x1]
 
-            if device_props is not None:
+            if device_props is not None and label < np.shape(
+                device_props["area"]
+            )[-1]:
                 props = {
                     k: np.asarray(v)[..., label]
                     if k != "histogram"
@@ -182,7 +228,14 @@ class FindRegions(Node):
             ):
                 continue
 
-            filled = ndi.binary_fill_holes(mask_crop)
+            # Device chains provide the filled area from one frame-level
+            # pass (ops/fill_holes.py); holes it could not attribute are
+            # flagged and fall back to the reference's per-crop fill.
+            ambiguous = props.get("area_filled_ambiguous", 1.0)
+            if "area_filled" in props and not ambiguous > 0:
+                area_filled = float(props["area_filled"])
+            else:
+                area_filled = float(ndi.binary_fill_holes(mask_crop).sum())
             yield RegionInfo(
                 label,
                 bbox,
@@ -190,7 +243,7 @@ class FindRegions(Node):
                 mask_crop,
                 inten_crop,
                 props,
-                float(filled.sum()),
+                area_filled,
             )
 
 
@@ -243,12 +296,16 @@ class ExtractROI(Node):
 
                 if self.alpha:
                     labels_full = (
-                        np.asarray(self.prepare_input(obj, "labels"))
-                        if self.labels is not None
+                        self.prepare_input(obj, "labels")
+                        if self.labels is not None and region.other_mask is None
                         else None
                     )
-                    if labels_full is not None:
-                        lab_crop = labels_full[y0:y1, x0:x1]
+                    if region.other_mask is not None:
+                        # Device crop extraction already separated the
+                        # masks; no label frame needed on host.
+                        other = region.other_mask
+                    elif labels_full is not None:
+                        lab_crop = np.asarray(labels_full)[y0:y1, x0:x1]
                         other = (lab_crop > 0) & (lab_crop != region.label)
                     else:
                         # Fall back: anything outside this region's mask that

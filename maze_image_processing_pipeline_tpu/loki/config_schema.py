@@ -135,6 +135,24 @@ class JaxSegmentationConfig(DefaultModel):
             "false = host-side tile blending."
         ),
     )
+    skip_empty_tiles: bool = Field(
+        True,
+        description=(
+            "Run the model only on tiles that contain any non-zero pixel "
+            "(LOKI stitched frames are mostly background). Pixels covered "
+            "only by skipped tiles score 0, matching the host path's "
+            "empty-tile filter."
+        ),
+    )
+    device_crops: bool = Field(
+        True,
+        description=(
+            "Cut per-object crops (intensity + masks) on the accelerator, "
+            "packed into the frame group's fetch, instead of slicing the "
+            "label frame per object on the host. Automatically disabled "
+            "when postprocess.merge_segments_distance > 0."
+        ),
+    )
 
     full_frame_archive_fn: Optional[str] = Field(
         None,

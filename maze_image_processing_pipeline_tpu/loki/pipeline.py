@@ -61,6 +61,7 @@ from ..engine.image import (
     FilterEval,
     FindRegions,
     ImageProperties,
+    RegionInfo,
 )
 from ..ops.image import rescale_max_intensity
 from ..ops.merge_labels import merge_labels
@@ -333,7 +334,12 @@ def build_threshold_segmentation(config: ThresholdSegmentationConfig, image, met
     return image, meta, mask
 
 
-def _make_frame_chain(cfg: SegmentationPostprocessingConfig):
+def _make_frame_chain(
+    cfg: SegmentationPostprocessingConfig,
+    *,
+    include_labels: bool = True,
+    compute_filled: bool = False,
+):
     """Build the jitted frame postprocess: mask → morphology → CCL →
     [clear_border] → [remove_small] → fused region measurement.
 
@@ -342,17 +348,26 @@ def _make_frame_chain(cfg: SegmentationPostprocessingConfig):
     trace and owned by this chain instance, so two chains with different
     prop configurations in one process unpack independently.
 
-    The chain returns ONE flat f32 buffer — labels + counts + the packed
-    (K, R) statistics + histograms — so a frame group costs a single
-    device→host transfer: each fetch through this host's TPU tunnel costs
-    ~4.8 s fixed latency regardless of size and transfers dominated the
-    e2e profile (BASELINE.md round-2 findings).
+    The chain returns ONE flat f32 buffer — counts + the packed (K, R)
+    statistics + histograms, prefixed by the label frames when
+    ``include_labels`` — so a frame group costs a single device→host
+    transfer: each fetch through this host's TPU tunnel costs ~4.8 s
+    fixed latency regardless of size and transfers dominated the e2e
+    profile (BASELINE.md round-2 findings). With ``include_labels=False``
+    the chain returns ``(labels, flat)`` and the labels stay on device
+    (for device-side crop extraction, :mod:`..ops.crops`).
+
+    ``compute_filled`` adds per-region ``area_filled`` (+ an
+    ``area_filled_ambiguous`` flag) from one frame-level background-CCL
+    pass (:func:`..ops.fill_holes.region_filled_extra`), replacing the
+    reference's per-crop ``binary_fill_holes``.
     """
     import jax
     import jax.numpy as jnp
 
     from ..ops import label as lm
     from ..ops import morphology as morph
+    from ..ops.fill_holes import region_filled_extra
     from ..ops.pallas_props import regionprops_fused_pallas
     from ..ops.regionprops_fused import regionprops_fused
 
@@ -391,19 +406,28 @@ def _make_frame_chain(cfg: SegmentationPostprocessingConfig):
                 num_segments=cfg.max_regions,
                 compute_histogram=True,
             )
+        if compute_filled:
+            extra, ambiguous = region_filled_extra(
+                labels,
+                num_segments=cfg.max_regions,
+                bg_segments=4 * cfg.max_regions,
+            )
+            props["area_filled"] = props["area"] + extra
+            props["area_filled_ambiguous"] = ambiguous.astype(jnp.float32)
         keys = sorted(k for k in props if k != "histogram")
         if not pack_keys:
             pack_keys.extend(keys)
         packed = jnp.stack([props[k] for k in keys])
-        # Label ids ≤ 4·max_regions are exact in f32.
-        return jnp.concatenate(
-            [
-                labels.astype(jnp.float32).reshape(-1),
-                n.astype(jnp.float32).reshape(-1),
-                packed.reshape(-1),
-                props["histogram"].reshape(-1),
-            ]
-        )
+        parts = [
+            n.astype(jnp.float32).reshape(-1),
+            packed.reshape(-1),
+            props["histogram"].reshape(-1),
+        ]
+        if include_labels:
+            # Label ids ≤ 4·max_regions are exact in f32.
+            parts.insert(0, labels.astype(jnp.float32).reshape(-1))
+            return jnp.concatenate(parts)
+        return labels, jnp.concatenate(parts)
 
     return chain, pack_keys
 
@@ -442,6 +466,42 @@ def _unpack_frame_batch(dev_out, dims, Hb, Wb, B, pack_keys):
         props = {k: packed_all[i, b] for i, k in enumerate(pack_keys)}
         props["histogram"] = hist_all[b]
         out.append((labels, int(n_all[b]), props))
+    return out
+
+
+def _round_ladder(m: int) -> int:
+    """Smallest value ≥ m from the {1, 1.5}·2^k ladder (1,2,3,4,6,8,12,…).
+
+    Count-dependent program shapes (occupied tiles, crop slots) are padded
+    to ladder rungs so a haul compiles a handful of variants instead of one
+    per distinct count (each cold compile costs ~20-40 s through this
+    host's TPU tunnel; max padding waste is 33%).
+    """
+    c = 1
+    while True:
+        if m <= c:
+            return c
+        c15 = c * 3 // 2
+        if c15 > c and m <= c15:
+            return c15
+        c *= 2
+
+
+def _unpack_stats_batch(dev_out, B, pack_keys):
+    """Unpack a frame GROUP's labels-free stats buffer (ONE transfer)."""
+    flat = np.asarray(dev_out)
+    K = len(pack_keys)
+    R = (flat.size - B) // (B * (K + 256))
+    n_all = flat[:B]
+    o = B
+    packed_all = flat[o : o + K * B * R].reshape(K, B, R)
+    o += K * B * R
+    hist_all = flat[o:].reshape(B, R, 256)
+    out = []
+    for b in range(B):
+        props = {k: packed_all[i, b] for i, k in enumerate(pack_keys)}
+        props["histogram"] = hist_all[b]
+        out.append((int(n_all[b]), props))
     return out
 
 
@@ -485,7 +545,7 @@ class DeviceTiledSegmentation(Node):
     ``:396-459``.
     """
 
-    outputs = ("labels", "props", "n_regions")
+    outputs = ("labels", "props", "n_regions", "regions")
 
     def __init__(
         self,
@@ -500,7 +560,19 @@ class DeviceTiledSegmentation(Node):
         self._model = model
         self._cfg = config
         self._post_cfg = postprocess_config
-        self._post, self._pack_keys = _make_frame_chain(postprocess_config)
+        # Crop extraction on device requires stable labels (merging would
+        # invalidate them); with merging enabled fall back to fetching the
+        # label frames and slicing crops on host.
+        self._crops_mode = bool(
+            getattr(config, "device_crops", True)
+            and postprocess_config.merge_segments_distance == 0
+        )
+        self._skip_empty = bool(getattr(config, "skip_empty_tiles", True))
+        self._post, self._pack_keys = _make_frame_chain(
+            postprocess_config,
+            include_labels=not self._crops_mode,
+            compute_filled=postprocess_config.merge_segments_distance == 0,
+        )
         self._devices = list(mesh.devices.flat) if mesh is not None else [None]
         self._fns: Dict[Tuple[int, int], object] = {}
         self._frame_batch = max(1, getattr(config, "frame_batch", 4))
@@ -568,6 +640,14 @@ class DeviceTiledSegmentation(Node):
 
         B = self._frame_batch
 
+        def edge_zero(pred, hs, ws):
+            # The model may score the zero padding above 0.5; frame b ends
+            # at (hs[b], ws[b]).
+            rows = jax.lax.broadcasted_iota(jnp.int32, (Hp, Wp), 0)[None]
+            cols = jax.lax.broadcasted_iota(jnp.int32, (Hp, Wp), 1)[None]
+            valid = (rows < hs[:, None, None]) & (cols < ws[:, None, None])
+            return jnp.where(valid, pred, 0.0)
+
         @jax.jit
         def extract(frames_u8):  # (B, Hp, Wp) uint8 → (B·T, ts, ts) uint8
             tiles = jnp.stack(
@@ -582,8 +662,8 @@ class DeviceTiledSegmentation(Node):
             return tiles.reshape(B * len(offsets), ts, ts)
 
         @jax.jit
-        def blend_post(pred_t, frames_u8, hs, ws):
-            # (B·T, ts, ts) f32, (B, Hp, Wp) uint8, true extents (B,)
+        def blend(pred_t, hs, ws):
+            # (B·T, ts, ts) f32, true extents (B,) → blended (B, Hp, Wp)
             T = len(offsets)
             pred_t = pred_t.reshape(B, T, ts, ts)
             canvas = jnp.zeros((B, Hp, Wp), jnp.float32)
@@ -594,36 +674,219 @@ class DeviceTiledSegmentation(Node):
                 )
                 wsum = wsum.at[:, oy : oy + ts, ox : ox + ts].add(wt)
             pred = canvas / jnp.maximum(wsum, 1.0)
-            # The model may score the zero padding above 0.5; frame b ends
-            # at (hs[b], ws[b]).
-            rows = jax.lax.broadcasted_iota(jnp.int32, (Hp, Wp), 0)[None]
-            cols = jax.lax.broadcasted_iota(jnp.int32, (Hp, Wp), 1)[None]
-            valid = (rows < hs[:, None, None]) & (cols < ws[:, None, None])
-            pred = jnp.where(valid, pred, 0.0)
+            return edge_zero(pred, hs, ws)
+
+        @jax.jit
+        def extract_dyn(frames_u8, tb, ty, tx):
+            # Occupied tiles only (skip-empty): a lax.scan of dynamic
+            # slices — plain copies, not a batched gather (TPU gathers
+            # cost ~100× a slice; BASELINE.md platform findings).
+            def step(_, xs):
+                b, y, x = xs
+                return None, jax.lax.dynamic_slice(
+                    frames_u8, (b, y, x), (1, ts, ts)
+                )[0]
+
+            _, tiles = jax.lax.scan(step, None, (tb, ty, tx))
+            return tiles  # (Ncap, ts, ts)
+
+        @jax.jit
+        def blend_dyn(pred_t, tb, ty, tx, n_occ, hs, ws):
+            # (Ncap, ts, ts) predictions of the occupied tiles, blended at
+            # dynamic offsets. Pixels covered only by skipped (empty)
+            # tiles keep wsum 0 → pred 0, matching the host path's
+            # skip-empty Filter semantics (reference loki/pipeline.py:518).
+            canvas = jnp.zeros((B, Hp, Wp), jnp.float32)
+            wsum = jnp.zeros((B, Hp, Wp), jnp.float32)
+            wt_d = jnp.asarray(wt)
+
+            def body(i, cw):
+                canvas, wsum = cw
+                b, y, x = tb[i], ty[i], tx[i]
+                w = jnp.where(i < n_occ, wt_d, 0.0)
+                cs = jax.lax.dynamic_slice(canvas, (b, y, x), (1, ts, ts))[0]
+                vs = jax.lax.dynamic_slice(wsum, (b, y, x), (1, ts, ts))[0]
+                canvas = jax.lax.dynamic_update_slice(
+                    canvas, (cs + pred_t[i] * w)[None], (b, y, x)
+                )
+                wsum = jax.lax.dynamic_update_slice(
+                    wsum, (vs + w)[None], (b, y, x)
+                )
+                return canvas, wsum
+
+            canvas, wsum = jax.lax.fori_loop(
+                0, pred_t.shape[0], body, (canvas, wsum)
+            )
+            pred = canvas / jnp.maximum(wsum, 1.0)
+            return edge_zero(pred, hs, ws)
+
+        def run_infer(tiles, n_tiles):
+            if n_tiles <= bs:
+                if tiles.shape[0] > bs:
+                    tiles = tiles[:bs]
+                return infer(tiles)
+            preds = []
+            for i in range(0, n_tiles, bs):
+                chunk = tiles[i : i + bs]
+                if chunk.shape[0] < bs:
+                    # Pad the tail chunk so the forward never recompiles.
+                    pad = bs - chunk.shape[0]
+                    chunk = jnp.concatenate(
+                        [chunk, jnp.repeat(chunk[-1:], pad, axis=0)]
+                    )
+                    preds.append(infer(chunk)[:-pad])
+                else:
+                    preds.append(infer(chunk))
+            return jnp.concatenate(preds, 0)
+
+        def fn(frames_u8, hs, ws, occ):
+            if occ is None:
+                tiles = extract(frames_u8)
+                pred_t = run_infer(tiles, B * len(offsets))
+                pred = blend(pred_t, hs, ws)
+            else:
+                tb, ty, tx, n_occ = occ
+                tiles = extract_dyn(frames_u8, tb, ty, tx)
+                pred_t = run_infer(tiles, tb.shape[0])
+                pred = blend_dyn(pred_t, tb, ty, tx, n_occ, hs, ws)
             return post(pred, frames_u8)
 
-        def fn(frames_u8, hs, ws):
-            tiles = extract(frames_u8)
-            n_tiles = B * len(offsets)
-            if n_tiles <= bs:
-                pred_t = infer(tiles)
-            else:
-                preds = []
-                for i in range(0, n_tiles, bs):
-                    chunk = tiles[i : i + bs]
-                    if chunk.shape[0] < bs:
-                        # Pad the tail chunk so the forward never recompiles.
-                        pad = bs - chunk.shape[0]
-                        chunk = jnp.concatenate(
-                            [chunk, jnp.repeat(chunk[-1:], pad, axis=0)]
-                        )
-                        preds.append(infer(chunk)[:-pad])
-                    else:
-                        preds.append(infer(chunk))
-                pred_t = jnp.concatenate(preds, 0)
-            return blend_post(pred_t, frames_u8, hs, ws)
+        return fn, offsets
 
-        return fn
+    def _plan_crops(self, stats, dims, Hp, Wp):
+        """Per-region crop windows, bucketed by pow2 window size.
+
+        Returns ``(jobs_by_bucket, region_plans)``: the device job arrays
+        per (Sh, Sw) bucket, and per frame the ordered region plans
+        referencing their bucket slot.
+        """
+        padding = int(getattr(self._cfg, "padding", 0))
+        min_intensity = getattr(self._cfg, "min_intensity", None)
+        R = self._post_cfg.max_regions
+        buckets: Dict[Tuple[int, int], list] = {}
+        region_plans = []  # per frame: list of dicts
+        for b, (H, W) in enumerate(dims):
+            n, props = stats[b]
+            plans = []
+            for r in range(1, min(n, R - 1) + 1):
+                if props["area"][r] <= 0:
+                    continue
+                if (
+                    min_intensity is not None
+                    and props["intensity_max"][r] < min_intensity
+                ):
+                    continue
+                y0b = int(props["min_row"][r])
+                x0b = int(props["min_col"][r])
+                y1b = int(props["max_row"][r])
+                x1b = int(props["max_col"][r])
+                py0 = max(0, y0b - padding)
+                px0 = max(0, x0b - padding)
+                py1 = min(H, y1b + padding)
+                px1 = min(W, x1b + padding)
+                h, w = py1 - py0, px1 - px0
+                Sh = min(1 << max(6, (h - 1).bit_length()), Hp)
+                Sw = min(1 << max(7, (w - 1).bit_length()), Wp)
+                wy = min(py0, Hp - Sh)
+                wx = min(px0, Wp - Sw)
+                key = (Sh, Sw)
+                slot = len(buckets.setdefault(key, []))
+                buckets[key].append((r, b, wy, wx))
+                plans.append(
+                    dict(
+                        label=r,
+                        bbox=(y0b, x0b, y1b, x1b),
+                        bbox_padded=(py0, px0, py1, px1),
+                        bucket=key,
+                        slot=slot,
+                        win=(wy, wx),
+                    )
+                )
+            region_plans.append(plans)
+        return buckets, region_plans
+
+    def _extract_crops(self, labels_dev, frames_dev, stats, dims):
+        """Cut every region's crop on device; ONE packed fetch for all."""
+        import jax.numpy as jnp
+
+        from ..ops.crops import extract_region_crops
+
+        Hp, Wp = frames_dev.shape[-2:]
+        buckets, region_plans = self._plan_crops(stats, dims, Hp, Wp)
+        bs = 8
+        parts = []
+        layout = []  # (key, Ncap, Sh, Sw, offset into flat)
+        offset = 0
+        for key in sorted(buckets):
+            jobs = buckets[key]
+            Sh, Sw = key
+            N = len(jobs)
+            Ncap = bs * _round_ladder(-(-N // bs))
+            jobs = jobs + [jobs[-1]] * (Ncap - N)
+            ids = np.asarray([j[0] for j in jobs], np.int32)
+            bidx = np.asarray([j[1] for j in jobs], np.int32)
+            wy = np.asarray([j[2] for j in jobs], np.int32)
+            wx = np.asarray([j[3] for j in jobs], np.int32)
+            parts.append(
+                extract_region_crops(
+                    frames_dev, labels_dev, ids, bidx, wy, wx,
+                    size_h=Sh, size_w=Sw,
+                )
+            )
+            layout.append((key, Ncap, Sh, Sw, offset))
+            offset += 2 * Ncap * Sh * Sw
+        if not parts:
+            return [[] for _ in dims]
+        flat = np.asarray(parts[0] if len(parts) == 1 else jnp.concatenate(parts))
+
+        views = {}
+        for key, Ncap, Sh, Sw, off in layout:
+            sz = Ncap * Sh * Sw
+            views[key] = (
+                flat[off : off + sz].reshape(Ncap, Sh, Sw),
+                flat[off + sz : off + 2 * sz].reshape(Ncap, Sh, Sw),
+            )
+
+        import scipy.ndimage as ndi
+
+        regions_per_frame = []
+        for b, plans in enumerate(region_plans):
+            _, props = stats[b]
+            amb = props.get("area_filled_ambiguous")
+            filled = props.get("area_filled")
+            regions = []
+            for p in plans:
+                r = p["label"]
+                imgs_v, bits_v = views[p["bucket"]]
+                wy, wx = p["win"]
+                py0, px0, py1, px1 = p["bbox_padded"]
+                sy, sx = py0 - wy, px0 - wx
+                win_i = imgs_v[p["slot"], sy : sy + (py1 - py0), sx : sx + (px1 - px0)]
+                win_b = bits_v[p["slot"], sy : sy + (py1 - py0), sx : sx + (px1 - px0)]
+                mask = (win_b & 1) > 0
+                other = (win_b & 2) > 0
+                props_r = {
+                    k: (v[..., r, :] if k == "histogram" else v[..., r])
+                    for k, v in props.items()
+                }
+                if filled is not None and not (amb is not None and amb[r] > 0):
+                    area_filled = float(filled[r])
+                else:
+                    area_filled = float(ndi.binary_fill_holes(mask).sum())
+                regions.append(
+                    RegionInfo(
+                        r,
+                        p["bbox"],
+                        p["bbox_padded"],
+                        mask,
+                        win_i.copy(),
+                        props_r,
+                        area_filled,
+                        other_mask=other,
+                    )
+                )
+            regions_per_frame.append(regions)
+        return regions_per_frame
 
     def transform_stream(self, stream: Stream) -> Stream:
         import collections
@@ -638,17 +901,33 @@ class DeviceTiledSegmentation(Node):
         group_key = None
         group_idx = 0
         B = self._frame_batch
+        bs = self._cfg.batch_size or 8
 
         def emit(entry):
-            objs, dev_out, dims, (Hb, Wb) = entry
-            for obj, (labels, n, props) in zip(
-                objs, _unpack_frame_batch(dev_out, dims, Hb, Wb, B, self._pack_keys)
-            ):
-                labels, props, n = _finalize_frame(
-                    labels, n, props, self._post_cfg
+            objs, out, frames_dev, dims, (Hb, Wb) = entry
+            if self._crops_mode:
+                labels_dev, stats_fut = out
+                stats = _unpack_stats_batch(stats_fut, B, self._pack_keys)
+                regions_per_frame = self._extract_crops(
+                    labels_dev, frames_dev, stats, dims
                 )
-                self.prepare_output(obj, labels, props, n)
-                yield obj
+                for b, obj in enumerate(objs):
+                    n, props = stats[b]
+                    _, props, n = _finalize_frame(None, n, props, self._post_cfg)
+                    self.prepare_output(
+                        obj, None, props, n, regions_per_frame[b]
+                    )
+                    yield obj
+            else:
+                for obj, (labels, n, props) in zip(
+                    objs,
+                    _unpack_frame_batch(out, dims, Hb, Wb, B, self._pack_keys),
+                ):
+                    labels, props, n = _finalize_frame(
+                        labels, n, props, self._post_cfg
+                    )
+                    self.prepare_output(obj, labels, props, n, None)
+                    yield obj
 
         def flush():
             nonlocal group, group_idx
@@ -664,12 +943,36 @@ class DeviceTiledSegmentation(Node):
                 imgs[b, :H, :W] = image
                 hs[b], ws[b] = H, W
             group = []
-            fn = self._get_fn(Hb, Wb)
+            fn, offsets = self._get_fn(Hb, Wb)
             device = self._devices[group_idx % len(self._devices)]
             group_idx += 1
-            if device is not None:
-                imgs = jax.device_put(imgs, device)
-            pending.append((objs, fn(imgs, hs, ws), dims, (Hb, Wb)))
+            imgs_dev = jax.device_put(imgs, device)
+            occ = None
+            if self._skip_empty:
+                ts = self._cfg.tile_size
+                jobs = [
+                    (b, oy, ox)
+                    for b in range(B)
+                    for oy, ox in offsets
+                    if imgs[b, oy : oy + ts, ox : ox + ts].any()
+                ]
+                N = len(jobs)
+                Ncap = bs * _round_ladder(-(-max(N, 1) // bs))
+                jobs = jobs + [(0, 0, 0)] * (Ncap - N)
+                occ = (
+                    np.asarray([j[0] for j in jobs], np.int32),
+                    np.asarray([j[1] for j in jobs], np.int32),
+                    np.asarray([j[2] for j in jobs], np.int32),
+                    np.asarray(N, np.int32),
+                )
+            out = fn(imgs_dev, hs, ws, occ)
+            # Start the device→host copy of the small stats buffer early so
+            # the transfer overlaps with later dispatches.
+            stats_fut = out[1] if self._crops_mode else out
+            copy_async = getattr(stats_fut, "copy_to_host_async", None)
+            if copy_async is not None:
+                copy_async()
+            pending.append((objs, out, imgs_dev, dims, (Hb, Wb)))
 
         with closing_if_closable(stream):
             for obj in stream:
@@ -733,7 +1036,9 @@ class DeviceFramePostprocess(Node):
         # is async so all chips run concurrently).
         self._devices = list(mesh.devices.flat) if mesh is not None else [None]
 
-        self._chain, self._pack_keys = _make_frame_chain(config)
+        self._chain, self._pack_keys = _make_frame_chain(
+            config, compute_filled=config.merge_segments_distance == 0
+        )
 
     def transform_stream(self, stream):
         import collections
@@ -815,12 +1120,13 @@ def build_jax_segmentation(
     model = load_model(config.model_fn, dtype=config.dtype)
     postprocess_config = config.postprocess or SegmentationPostprocessingConfig()
 
+    regions = None
     if config.device_blend and config.full_frame_archive_fn is None:
         # Fused device path: tile inference + linear blend + postprocess in
         # one program — predictions never leave the chip (the dominant cost
         # on tunneled hosts; BASELINE.md). The host path below is kept for
         # debug output (needs the blended pred on host) and as a fallback.
-        labels, props, n_regions = DeviceTiledSegmentation(
+        labels, props, n_regions, regions = DeviceTiledSegmentation(
             image, model, config, postprocess_config, mesh=mesh
         )
     else:
@@ -870,6 +1176,7 @@ def build_jax_segmentation(
         padding=config.padding,
         min_intensity=config.min_intensity,
         props=props,
+        regions=regions,
     )
 
     def recalc_metadata(region, m):

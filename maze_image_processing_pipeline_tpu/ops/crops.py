@@ -1,0 +1,71 @@
+"""Device-side per-region crop extraction (intensity + masks).
+
+The reference extracts every object's crop on the host: slice the label
+frame, compare against the region id, slice the intensity frame
+(``morphocut FindRegions/ExtractROI``, exercised at
+``/root/reference/maze_ipp/loki/pipeline.py:589-602``). Per-object host
+slicing is the single-core bottleneck of the loki haul; here the crops are
+cut on the accelerator straight from the label/intensity frames that the
+fused segmentation chain already holds in HBM, and ride back to the host
+in ONE packed fetch.
+
+Formulation: a ``lax.scan`` of ``dynamic_slice`` steps — one per crop
+window — which lowers to plain dynamic-slice copies (TPU-friendly), NOT a
+batched gather (TPU scatters/gathers cost ~100× the equivalent slice;
+BASELINE.md platform findings). Crop windows are fixed-size per call
+(static shapes for XLA); callers bucket regions by padded-bbox size and
+compile one program per (window, count-bucket) pair.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["extract_region_crops"]
+
+
+@functools.partial(jax.jit, static_argnames=("size_h", "size_w"))
+def extract_region_crops(
+    frames: jnp.ndarray,
+    labels: jnp.ndarray,
+    ids: jnp.ndarray,
+    bidx: jnp.ndarray,
+    y0: jnp.ndarray,
+    x0: jnp.ndarray,
+    *,
+    size_h: int,
+    size_w: int,
+) -> jnp.ndarray:
+    """Cut N fixed-size windows out of a batch of frames.
+
+    Args:
+        frames: (B, H, W) uint8 intensity frames.
+        labels: (B, H, W) int32 label frames (0 = background).
+        ids: (N,) int32 region id per window.
+        bidx / y0 / x0: (N,) int32 frame index and window start per window
+            (starts must satisfy 0 <= y0 <= H - size_h etc.; out-of-range
+            starts are clamped by ``dynamic_slice`` semantics).
+        size_h / size_w: static window extent.
+
+    Returns:
+        flat (2 · N · size_h · size_w,) uint8 — the N intensity windows
+        first, then the N mask windows. A mask byte packs bit 0 = pixel
+        belongs to this region, bit 1 = pixel belongs to a *different*
+        region (ExtractROI's "other objects" mask). One flat buffer so the
+        whole batch of crops is a single device→host transfer.
+    """
+
+    def step(_, xs):
+        rid, b, y, x = xs
+        img = jax.lax.dynamic_slice(frames, (b, y, x), (1, size_h, size_w))[0]
+        lab = jax.lax.dynamic_slice(labels, (b, y, x), (1, size_h, size_w))[0]
+        this = lab == rid
+        other = (lab > 0) & (~this)
+        bits = this.astype(jnp.uint8) | (other.astype(jnp.uint8) << 1)
+        return None, (img, bits)
+
+    _, (img_c, bit_c) = jax.lax.scan(step, None, (ids, bidx, y0, x0))
+    return jnp.concatenate([img_c.reshape(-1), bit_c.reshape(-1)])

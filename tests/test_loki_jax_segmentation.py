@@ -161,22 +161,34 @@ def test_device_blend_matches_host_blend(tmp_path, model_dir):
                     }
                 },
                 "postprocess": {},
-                "output": {"target_dir": str(tmp_path / out)},
+                "output": {"target_dir": str(tmp_path / out), "store_mask": True},
             }
         )
-        return read_tsv(
-            Archive(os.path.join(str(tmp_path / out), "LOKI_PS122-1_7.zip"))
-            / "ecotaxa_export.tsv"
-        )
+        archive = Archive(os.path.join(str(tmp_path / out), "LOKI_PS122-1_7.zip"))
+        df = read_tsv(archive / "ecotaxa_export.tsv")
+        images = {}
+        import cv2
 
-    df_dev = run(True, "out_dev")
-    df_host = run(False, "out_host")
+        for fn in df["img_file_name"]:
+            data = (archive / fn).read_bytes()
+            images[fn] = cv2.imdecode(
+                np.frombuffer(data, np.uint8), cv2.IMREAD_UNCHANGED
+            )
+            mask_fn = fn.replace(".png", "_mask.png")
+            data = (archive / mask_fn).read_bytes()
+            images[mask_fn] = cv2.imdecode(
+                np.frombuffer(data, np.uint8), cv2.IMREAD_UNCHANGED
+            )
+        return df, images
+
+    df_dev, img_dev = run(True, "out_dev")
+    df_host, img_host = run(False, "out_host")
     assert len(df_dev) == len(df_host)
     key = ["object_posx", "object_posy"]
     df_dev = df_dev.sort_values(key).reset_index(drop=True)
     df_host = df_host.sort_values(key).reset_index(drop=True)
     for col in ["object_area", "object_width", "object_height", "object_major",
-                "object_feret", "object_mean"]:
+                "object_feret", "object_mean", "object_area_exc"]:
         np.testing.assert_allclose(
             df_dev[col].to_numpy(np.float64),
             df_host[col].to_numpy(np.float64),
@@ -184,6 +196,11 @@ def test_device_blend_matches_host_blend(tmp_path, model_dir):
             atol=0.51,
             err_msg=col,
         )
+    # Vignettes and masks must be pixel-identical: the device-crop path
+    # cuts them on the accelerator, the host path slices the label frame.
+    assert set(img_dev) == set(img_host)
+    for fn in img_dev:
+        np.testing.assert_array_equal(img_dev[fn], img_host[fn], err_msg=fn)
 
 
 def test_n_threads_parallel_host_region(tmp_path, model_dir):
@@ -228,9 +245,11 @@ def test_n_threads_parallel_host_region(tmp_path, model_dir):
     )
 
 
-def test_device_tiled_segmentation_mixed_buckets(model_dir):
+@pytest.mark.parametrize("device_crops", [True, False])
+def test_device_tiled_segmentation_mixed_buckets(model_dir, device_crops):
     """Frames of different bucket sizes interleaved: groups flush on bucket
-    switches and objects re-emit in arrival order with correct labels."""
+    switches and objects re-emit in arrival order with correct labels (or
+    device-extracted region crops in crops mode)."""
     import jax.numpy as jnp
 
     from maze_image_processing_pipeline_tpu.engine import Call, Pipeline, Unpack
@@ -264,6 +283,7 @@ def test_device_tiled_segmentation_mixed_buckets(model_dir):
         tile_size=128,
         tile_stride=96,
         frame_batch=2,
+        device_crops=device_crops,
     )
     post = SegmentationPostprocessingConfig(min_area=20)
     model = load_model(model_dir, dtype="float32")
@@ -271,12 +291,26 @@ def test_device_tiled_segmentation_mixed_buckets(model_dir):
     results = []
     with Pipeline() as p:
         img = Unpack(frames)
-        labels, props, n = DeviceTiledSegmentation(img, model, cfg, post)
-        Call(lambda lab, nn: results.append((lab.shape, int(nn))), labels, n)
+        labels, props, n, regions = DeviceTiledSegmentation(img, model, cfg, post)
+        Call(
+            lambda lab, nn, regs: results.append(
+                (
+                    None if lab is None else lab.shape,
+                    int(nn),
+                    None if regs is None else len(regs),
+                )
+            ),
+            labels,
+            n,
+            regions,
+        )
     p.run()
 
-    assert [r[0] for r in results] == [f.shape for f in frames]  # order kept
-    assert [r[1] for r in results] == blob_counts
+    assert [r[1] for r in results] == blob_counts  # order kept
+    if device_crops:
+        assert [r[2] for r in results] == blob_counts
+    else:
+        assert [r[0] for r in results] == [f.shape for f in frames]
 
 
 def test_two_frame_chains_with_different_prop_configs():
