@@ -15,7 +15,7 @@ Replaces the reference's TorchScript models (``loki/pipeline.py:493``,
 from .unet import UNet
 from .classifier import ConvClassifier
 from .model_io import LoadedModel, load_model, save_model
-from .inference import JaxInference
+from .inference import DeviceTiledInference, JaxInference
 
 __all__ = [
     "UNet",
@@ -23,5 +23,6 @@ __all__ = [
     "LoadedModel",
     "load_model",
     "save_model",
+    "DeviceTiledInference",
     "JaxInference",
 ]

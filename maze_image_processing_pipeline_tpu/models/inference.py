@@ -37,7 +37,12 @@ from .model_io import LoadedModel
 
 logger = logging.getLogger(__name__)
 
-__all__ = ["JaxInference", "default_device_pre", "sigmoid_post"]
+__all__ = [
+    "JaxInference",
+    "DeviceTiledInference",
+    "default_device_pre",
+    "sigmoid_post",
+]
 
 
 def default_device_pre(x: jnp.ndarray) -> jnp.ndarray:
@@ -234,3 +239,259 @@ class JaxInference(Node):
 
             while pending:
                 yield from flush_one()
+
+
+def _round_ladder(m: int) -> int:
+    """Smallest value ≥ m from the {1, 1.5}·2^k ladder (1,2,3,4,6,8,12,…)."""
+    c = 1
+    while True:
+        if m <= c:
+            return c
+        c15 = c * 3 // 2
+        if c15 > c and m <= c15:
+            return c15
+        c *= 2
+
+
+@ReturnOutputs
+@Output("predictions")
+class DeviceTiledInference(Node):
+    """Tiled inference with ON-DEVICE linear blending (predict workload).
+
+    The composed path (``TiledPipeline{JaxInference}``) fetches every
+    tile's prediction to the host and blends there — with overlapping
+    tiles that transfers ~2-4× the blended output, and the fetch is the
+    dominant cost on tunneled hosts (BASELINE.md). Here the tile grid of
+    each object (the SAME grid the host ``TiledPipeline`` would use —
+    :func:`..engine.tiles._tile_starts` on the true extent) is extracted,
+    inferred, and blended on the accelerator; only the blended per-object
+    prediction is fetched, packed across a whole chunk of objects into ONE
+    transfer. Blend weights and normalization mirror
+    ``engine.tiles._FrameAccumulator`` exactly (linear ramp,
+    ``where(w > 0, w, 1)``), so outputs match the host path.
+
+    Reference contract: ``/root/reference/maze_ipp/predict/pipeline.py:
+    644-681`` (TiledPipeline(blend_strategy="linear") around the PyTorch
+    node).
+    """
+
+    def __init__(
+        self,
+        model: LoadedModel,
+        image: RawOrVariable,
+        *,
+        tile_size: int,
+        tile_stride: int,
+        batch_size: int = 8,
+        chunk_size: int = 32,
+        output_key: Optional[Any] = None,
+        device_pre: Optional[Callable] = default_device_pre,
+        device_post: Optional[Callable] = sigmoid_post,
+        transfer_dtype: Optional[Any] = None,
+        mesh: Optional[jax.sharding.Mesh] = None,
+        in_flight: int = 2,
+    ) -> None:
+        self.model = model
+        self.image = image
+        self.tile_size = tile_size
+        self.tile_stride = tile_stride
+        self.batch_size = max(1, batch_size)
+        self.chunk_size = max(1, chunk_size)
+        self.in_flight = max(1, in_flight)
+        self.transfer_dtype = transfer_dtype
+        super().__init__()
+
+        apply_fn = model.apply
+        output_key_ = output_key
+        device_pre_ = device_pre
+        device_post_ = device_post
+
+        @jax.jit
+        def step(params, tiles):  # (bs, ts, ts[, C]) uint8 → (bs, ts, ts, Cout)
+            x = tiles
+            if device_pre_ is not None:
+                x = device_pre_(x)
+            y = apply_fn(params, x)
+            if output_key_ is not None:
+                y = y[output_key_]
+            if device_post_ is not None:
+                y = device_post_(y)
+            return y.astype(jnp.float32)
+
+        self._step = step
+        self._params = model.params
+        self._devices = list(mesh.devices.flat) if mesh is not None else [None]
+
+    def _input_names(self):
+        return ("image",)
+
+    @functools.lru_cache(maxsize=None)
+    def _programs(self, Hb: int, Wb: int):
+        """extract/blend programs for one shape bucket (auto-specialized on
+        the job-count ladder via input shapes)."""
+        ts = self.tile_size
+        from ..engine.tiles import _linear_weight
+
+        wt = _linear_weight(ts, ts)  # numpy host constant
+
+        @jax.jit
+        def extract(imgs, tb, ty, tx):
+            # (N, Hb, Wb[, C]) u8 → (Ncap, ts, ts[, C]): scan of dynamic
+            # slices (plain copies, not a gather).
+            trailing = imgs.shape[3:]
+
+            def body(_, xs):
+                b, y, x = xs
+                return None, jax.lax.dynamic_slice(
+                    imgs, (b, y, x) + (0,) * len(trailing),
+                    (1, ts, ts) + trailing,
+                )[0]
+
+            _, tiles = jax.lax.scan(body, None, (tb, ty, tx))
+            return tiles
+
+        @functools.partial(jax.jit, static_argnames=("Bo",))
+        def blend(pred_t, tb, ty, tx, n_jobs, *, Bo):
+            # (Ncap, ts, ts, Cout) → (Bo, Hb, Wb, Cout) flat: accumulate at
+            # dynamic offsets; pad jobs carry zero weight.
+            Cout = pred_t.shape[-1]
+            canvas = jnp.zeros((Bo, Hb, Wb, Cout), jnp.float32)
+            wsum = jnp.zeros((Bo, Hb, Wb, 1), jnp.float32)
+            wt_d = jnp.asarray(wt)[..., None]
+
+            def body(i, cw):
+                canvas, wsum = cw
+                b, y, x = tb[i], ty[i], tx[i]
+                w = jnp.where(i < n_jobs, wt_d, 0.0)
+                cs = jax.lax.dynamic_slice(
+                    canvas, (b, y, x, 0), (1, ts, ts, Cout)
+                )[0]
+                vs = jax.lax.dynamic_slice(wsum, (b, y, x, 0), (1, ts, ts, 1))[0]
+                canvas = jax.lax.dynamic_update_slice(
+                    canvas, (cs + pred_t[i] * w)[None], (b, y, x, 0)
+                )
+                wsum = jax.lax.dynamic_update_slice(
+                    wsum, (vs + w)[None], (b, y, x, 0)
+                )
+                return canvas, wsum
+
+            canvas, wsum = jax.lax.fori_loop(
+                0, pred_t.shape[0], body, (canvas, wsum)
+            )
+            # Host TiledPipeline normalization: where(w > 0, w, 1).
+            out = canvas / jnp.where(wsum > 0, wsum, 1.0)
+            if self.transfer_dtype is not None:
+                out = out.astype(self.transfer_dtype)
+            return out.reshape(-1)
+
+        return extract, blend
+
+    def _run_chunk(self, images, device):
+        """Dispatch one chunk; returns (fetch_future, layout)."""
+        from ..engine.tiles import _tile_starts
+
+        ts, stride = self.tile_size, self.tile_stride
+        buckets = {}
+        for i, img in enumerate(images):
+            h, w = img.shape[:2]
+            Hb = max(1 << (max(h, ts) - 1).bit_length(), ts)
+            Wb = max(1 << (max(w, ts) - 1).bit_length(), ts, 128)
+            buckets.setdefault((Hb, Wb), []).append(i)
+
+        parts = []
+        layout = []  # (bucket_key, idxs, Bo, Cout_placeholder, offset)
+        for key in sorted(buckets):
+            Hb, Wb = key
+            idxs = buckets[key]
+            Bo = len(idxs)
+            trailing = images[idxs[0]].shape[2:]
+            imgs = np.zeros((Bo, Hb, Wb) + trailing, np.uint8)
+            jobs = []
+            for bi, i in enumerate(idxs):
+                img = images[i]
+                h, w = img.shape[:2]
+                imgs[bi, :h, :w] = img
+                for y in _tile_starts(h, ts, stride):
+                    for x in _tile_starts(w, ts, stride):
+                        jobs.append((bi, y, x))
+            N = len(jobs)
+            Ncap = self.batch_size * _round_ladder(-(-N // self.batch_size))
+            jobs = jobs + [(0, 0, 0)] * (Ncap - N)
+            tb = np.asarray([j[0] for j in jobs], np.int32)
+            ty = np.asarray([j[1] for j in jobs], np.int32)
+            tx = np.asarray([j[2] for j in jobs], np.int32)
+
+            extract, blend = self._programs(Hb, Wb)
+            imgs_dev = jax.device_put(imgs, device)
+            tiles = extract(imgs_dev, tb, ty, tx)
+            preds = []
+            for o in range(0, Ncap, self.batch_size):
+                preds.append(
+                    self._step(self._params, tiles[o : o + self.batch_size])
+                )
+            pred_t = jnp.concatenate(preds, 0) if len(preds) > 1 else preds[0]
+            # Quantize the canvas batch to the ladder too: every distinct
+            # (Hb, Wb, Ncap, Bo) combination compiles a blend variant.
+            Bo_cap = _round_ladder(Bo)
+            flat = blend(pred_t, tb, ty, tx, np.asarray(N, np.int32), Bo=Bo_cap)
+            parts.append(flat)
+            layout.append((key, idxs, Bo_cap, int(pred_t.shape[-1])))
+
+        out = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+        copy_async = getattr(out, "copy_to_host_async", None)
+        if copy_async is not None:
+            copy_async()
+        return out, layout
+
+    def _unpack_chunk(self, out, layout, images):
+        flat = np.asarray(out)
+        results = [None] * len(images)
+        off = 0
+        for (Hb, Wb), idxs, Bo, Cout in layout:
+            sz = Bo * Hb * Wb * Cout
+            block = flat[off : off + sz].reshape(Bo, Hb, Wb, Cout)
+            off += sz
+            for bi, i in enumerate(idxs):
+                h, w = images[i].shape[:2]
+                results[i] = block[bi, :h, :w].astype(np.float32)
+        return results
+
+    def transform_stream(self, stream: Stream) -> Stream:
+        pending = collections.deque()
+        chunk_objs: List = []
+        chunk_imgs: List = []
+        chunk_idx = 0
+
+        def flush():
+            nonlocal chunk_objs, chunk_imgs, chunk_idx
+            if not chunk_objs:
+                return
+            device = self._devices[chunk_idx % len(self._devices)]
+            chunk_idx += 1
+            out, layout = self._run_chunk(chunk_imgs, device)
+            pending.append((chunk_objs, chunk_imgs, out, layout))
+            chunk_objs, chunk_imgs = [], []
+
+        def emit():
+            objs, imgs, out, layout = pending.popleft()
+            for obj, pred in zip(objs, self._unpack_chunk(out, layout, imgs)):
+                obj[self.output_vars[0]] = pred
+                yield obj
+
+        with closing_if_closable(stream):
+            for obj in stream:
+                img = np.asarray(self.prepare_input(obj, "image"))
+                if img.dtype != np.uint8:
+                    raise ValueError(
+                        "DeviceTiledInference requires uint8 images; "
+                        f"got {img.dtype}. Disable tiling.device_blend."
+                    )
+                chunk_objs.append(obj)
+                chunk_imgs.append(img)
+                if len(chunk_objs) >= self.chunk_size:
+                    flush()
+                while len(pending) > self.in_flight:
+                    yield from emit()
+            flush()
+            while pending:
+                yield from emit()

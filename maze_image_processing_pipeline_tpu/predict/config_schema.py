@@ -53,6 +53,14 @@ class TilingConfig(TrueToDefaultsModel):
         896,
         description="Stride of the tiling. `size - stride` is the overlap of two consecutive tiles.",
     )
+    device_blend: bool = Field(
+        True,
+        description=(
+            "Blend tile predictions on the accelerator and fetch only the "
+            "blended per-object prediction (packed across a chunk of "
+            "objects into one transfer). false = host-side tile blending."
+        ),
+    )
 
 
 class ModelConfig(BaseModel):

@@ -648,49 +648,66 @@ class Runner(PipelineRunner):
 
             import contextlib
 
-            with contextlib.ExitStack() as stack:
-                if config.model.tiling is not False:
-                    stack.enter_context(
-                        TiledPipeline(
-                            (config.model.tiling.size, config.model.tiling.size),
-                            image,
-                            tile_stride=(
-                                config.model.tiling.stride,
-                                config.model.tiling.stride,
-                            ),
-                            blend_strategy="linear",
-                        )
-                    )
+            # Halve the device→host fetch for mask/probability consumers
+            # (the dominant cost on tunneled hosts), but keep full precision
+            # when raw outputs are persisted as deep features (HDF5).
+            transfer_dtype = None if config.save_raw_h5 else np.float16
 
-                is_batch = bool(config.model.batch_size)
-                if is_batch:
-                    stack.enter_context(BatchedPipeline(config.model.batch_size))
+            tiling = config.model.tiling
+            if tiling is not False and tiling.device_blend:
+                # Fused device path: each object's tile grid (the same grid
+                # TiledPipeline would build) is extracted, inferred, and
+                # linearly blended on the accelerator; only the blended
+                # prediction is fetched, packed per chunk of objects.
+                from ..models import DeviceTiledInference
 
-                if config.model.n_threads > 1:
-                    # Host-side thread parallelism for the enclosed region
-                    # (decode/transform overlap; the device itself is
-                    # saturated by batching, not thread-replicated models).
-                    from ..engine import DataParallelPipeline
-
-                    stack.enter_context(
-                        DataParallelPipeline(executor=config.model.n_threads)
-                    )
-
-                predictions = JaxInference(
+                predictions = DeviceTiledInference(
                     model,
                     image,
-                    is_batch=is_batch,
-                    batch_size=None if is_batch else 8,
-                    pre_transform=pre_transform,
+                    tile_size=tiling.size,
+                    tile_stride=tiling.stride,
+                    batch_size=config.model.batch_size or 8,
                     mesh=mesh,
-                    # Halve the device→host fetch for mask/probability
-                    # consumers (the dominant cost on tunneled hosts), but
-                    # keep full precision when raw outputs are persisted as
-                    # deep features (HDF5).
-                    transfer_dtype=(
-                        None if config.save_raw_h5 else np.float16
-                    ),
+                    transfer_dtype=transfer_dtype,
                 )
+            else:
+                with contextlib.ExitStack() as stack:
+                    if tiling is not False:
+                        stack.enter_context(
+                            TiledPipeline(
+                                (tiling.size, tiling.size),
+                                image,
+                                tile_stride=(tiling.stride, tiling.stride),
+                                blend_strategy="linear",
+                            )
+                        )
+
+                    is_batch = bool(config.model.batch_size)
+                    if is_batch:
+                        stack.enter_context(
+                            BatchedPipeline(config.model.batch_size)
+                        )
+
+                    if config.model.n_threads > 1:
+                        # Host-side thread parallelism for the enclosed
+                        # region (decode/transform overlap; the device is
+                        # saturated by batching, not thread-replicated
+                        # models).
+                        from ..engine import DataParallelPipeline
+
+                        stack.enter_context(
+                            DataParallelPipeline(executor=config.model.n_threads)
+                        )
+
+                    predictions = JaxInference(
+                        model,
+                        image,
+                        is_batch=is_batch,
+                        batch_size=None if is_batch else 8,
+                        pre_transform=pre_transform,
+                        mesh=mesh,
+                        transfer_dtype=transfer_dtype,
+                    )
 
             if config.save_raw_h5:
                 h5_mode_create = config.model.tiling is not False

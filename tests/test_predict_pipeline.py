@@ -347,3 +347,74 @@ def test_batched_segment_measure_matches_host(rng):
                 assert b[k] == pytest.approx(a[k], rel=2e-3, abs=0.51), (
                     f"crop {i} {k}: host={a[k]} dev={b[k]}"
                 )
+
+
+def test_device_tiled_inference_matches_host_blend(tmp_path, rng):
+    """DeviceTiledInference (on-device tile blending, packed chunk fetch)
+    must reproduce the host path (TiledPipeline{JaxInference}) on a mixed
+    stream of crop sizes incl. multi-tile and smaller-than-tile objects."""
+    sizes = [(64, 64), (100, 90), (40, 56), (90, 120), (64, 64)]
+    crops = [draw_blob(rng, shape=s, r=12) for s in sizes]
+    archive_fn = str(tmp_path / "input" / "crops.zip")
+    with Pipeline() as p:
+        i = Unpack(list(range(len(crops))))
+        img = Call(lambda k: crops[k], i)
+        meta = Call(lambda k: {"object_id": f"obj{k}", "object_area": 1.0}, i)
+        fn = Call(lambda k: f"obj{k}.png", i)
+        EcotaxaWriter(archive_fn, [(fn, img)], meta)
+    p.run()
+
+    model_dir = str(tmp_path / "unet")
+    module = UNet(out_channels=2, base_features=4, depth=1, dtype=jnp.float32)
+    params = module.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
+    save_model(
+        model_dir, module, params,
+        outputs={"pred": {"channel_names": ["prosoma", "oilsack"]}},
+    )
+
+    def run(device_blend, out):
+        target_dir = str(tmp_path / out)
+        Runner._configure_and_run(
+            {
+                "input": {"path": archive_fn},
+                "model": {
+                    "model_fn": model_dir,
+                    "dtype": "float32",
+                    "batch_size": 2,
+                    "tiling": {
+                        "size": 64,
+                        "stride": 48,
+                        "device_blend": device_blend,
+                    },
+                },
+                "save_raw_h5": True,
+                "segmentation": {"draw": False, "fill_holes": True},
+                "target_dir": target_dir,
+            }
+        )
+        with h5py.File(os.path.join(target_dir, "crops.h5")) as h5:
+            preds = {k: np.asarray(h5[k]) for k in h5.keys()}
+        df = read_tsv(
+            Archive(os.path.join(target_dir, "crops.segmentation.zip"))
+            / "ecotaxa_export.tsv"
+        )
+        return preds, df
+
+    preds_dev, df_dev = run(True, "out_dev")
+    preds_host, df_host = run(False, "out_host")
+
+    assert set(preds_dev) == set(preds_host)
+    for k in preds_dev:
+        assert preds_dev[k].shape == preds_host[k].shape, k
+        np.testing.assert_allclose(
+            preds_dev[k], preds_host[k], rtol=1e-5, atol=1e-6, err_msg=k
+        )
+    meas_cols = [c for c in df_host.columns if "_area" in c or "axis" in c]
+    assert meas_cols
+    for col in meas_cols:
+        np.testing.assert_allclose(
+            df_dev[col].to_numpy(np.float64),
+            df_host[col].to_numpy(np.float64),
+            rtol=1e-5,
+            err_msg=col,
+        )
