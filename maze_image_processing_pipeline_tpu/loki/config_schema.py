@@ -59,11 +59,13 @@ class ThresholdSegmentationConfig(DefaultModel):
     threshold_brighter: float = Field(
         ..., description="Extract objects brighter than this threshold."
     )
-    device: bool = Field(
-        True,
+    device: bool | Literal["auto"] = Field(
+        "auto",
         description=(
             "Measure crops batched on the accelerator (fused single-region "
-            "props + exact filled area); false = per-crop host path."
+            "props + exact filled area); false = per-crop host path. "
+            "'auto' probes the dispatch round-trip once: accelerator when "
+            "it is locally attached, host path through remote tunnels."
         ),
     )
     device_chunk_size: int = Field(

@@ -322,7 +322,9 @@ def build_threshold_segmentation(config: ThresholdSegmentationConfig, image, met
         lambda img: np.asarray(img) > config.threshold_brighter,
         image,
     )
-    if config.device:
+    from ..parallel.probe import resolve_device_flag
+
+    if resolve_device_flag(config.device):
         props = BatchedImageProperties(
             image, config.threshold_brighter, chunk_size=config.device_chunk_size
         )

@@ -104,13 +104,15 @@ class SegmentationConfig(TrueToDefaultsModel):
         False,
         description="Fill holes in segments. Can be boolean or a list of channel names.",
     )
-    device: bool = Field(
-        False,
+    device: bool | Literal["auto"] = Field(
+        "auto",
         description=(
             "Measure channel segments batched on the accelerator "
             "(BatchedSegmentMeasure). Wins on locally attached TPUs; on "
             "remote-tunnel hosts the per-bucket dispatch latency makes the "
-            "host path faster (BASELINE.md). Ignored when draw is true."
+            "host path faster (BASELINE.md). 'auto' probes the dispatch "
+            "round-trip once and picks accordingly. Ignored when draw is "
+            "true."
         ),
     )
 

@@ -728,7 +728,11 @@ class Runner(PipelineRunner):
                 if output_description.channel_names is None:
                     raise ValueError(f"Supply channel_names for output '{output_name}'")
 
-                if config.segmentation.draw or not config.segmentation.device:
+                from ..parallel.probe import resolve_device_flag
+
+                if config.segmentation.draw or not resolve_device_flag(
+                    config.segmentation.device
+                ):
                     # Overlay drawing needs the masks on host; the host path
                     # is also the default on remote-tunnel hosts (see
                     # SegmentationConfig.device).

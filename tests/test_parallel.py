@@ -35,3 +35,16 @@ class TestMesh:
         mesh = make_mesh({"data": 2, "space": 2, "model": 2})
         spec = shard_batch_spec(mesh, 4)
         assert spec == __import__("jax").sharding.PartitionSpec("data", "space", None, None)
+
+
+def test_resolve_device_flag():
+    """'auto' resolves via the dispatch probe: False on the CPU backend,
+    explicit booleans pass through untouched."""
+    from maze_image_processing_pipeline_tpu.parallel.probe import (
+        resolve_device_flag,
+    )
+
+    assert resolve_device_flag(True) is True
+    assert resolve_device_flag(False) is False
+    # Test session runs on the CPU backend -> host path.
+    assert resolve_device_flag("auto") is False
