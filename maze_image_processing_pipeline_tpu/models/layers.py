@@ -83,9 +83,18 @@ def _gn_fwd(x, scale, bias, num_groups, epsilon):
 
 
 def _gn_bwd(num_groups, epsilon, res, ct):
-    # Backward through the XLA reference (training throughput is secondary
-    # to the inference hot path; the math is identical).
     x, scale, bias = res
+    if jax.default_backend() == "tpu" and x.ndim in (3, 4) and x.shape[0] <= 32:
+        # Fused strip kernel (same layout pinning as the forward) — the
+        # XLA-recompute VJP paid the forward's pre-fix composed cost in
+        # the train step (round-2 VERDICT item 9).
+        from .pallas_norm import group_norm_bwd_pallas
+
+        dx, dscale, dbias = group_norm_bwd_pallas(
+            x, ct, scale, num_groups=num_groups, epsilon=epsilon
+        )
+        return dx, dscale, dbias
+    # Backward through the XLA reference (identical math).
     _, vjp = jax.vjp(
         lambda x_, s_, b_: _group_norm_ref(x_, s_, b_, num_groups, epsilon),
         x,

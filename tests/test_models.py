@@ -237,3 +237,33 @@ def test_pallas_groupnorm_custom_vjp_gradients(monkeypatch):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-4
         )
+
+
+def test_pallas_groupnorm_backward_kernel_matches_reference():
+    """group_norm_bwd_pallas (fused strip backward) ≡ jax.vjp of the XLA
+    reference, for dx, dscale, and dbias; interpret mode on CPU."""
+    from maze_image_processing_pipeline_tpu.models import layers
+    from maze_image_processing_pipeline_tpu.models.pallas_norm import (
+        group_norm_bwd_pallas,
+    )
+
+    rng = np.random.default_rng(11)
+    for shape, G in (((2, 8, 16, 16), 4), ((3, 12, 8, 32), 8)):
+        x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+        ct = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+        scale = jnp.asarray(rng.standard_normal(shape[-1]), jnp.float32)
+        bias = jnp.asarray(rng.standard_normal(shape[-1]), jnp.float32)
+
+        dx, dscale, dbias = group_norm_bwd_pallas(
+            x, ct, scale, num_groups=G, epsilon=1e-6, interpret=True
+        )
+        _, vjp = jax.vjp(
+            lambda x_, s_, b_: layers._group_norm_ref(x_, s_, b_, G, 1e-6),
+            x,
+            scale,
+            bias,
+        )
+        rx, rs, rb = vjp(ct)
+        np.testing.assert_allclose(np.asarray(dx), np.asarray(rx), rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(dscale), np.asarray(rs), rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(dbias), np.asarray(rb), rtol=2e-4, atol=2e-4)
