@@ -610,16 +610,21 @@ class DeviceTiledSegmentation(Node):
         return self._infer
 
     def _build(self, Hb: int, Wb: int):
-        """Per-BUCKET tile extraction + blend/postprocess programs.
+        """Per-BUCKET blend/postprocess programs.
 
         Stitched frame sizes vary slightly from frame to frame, so the
         programs specialize on a *bucketed* shape (multiples of 128 — one
         or two buckets per haul) and take the true (H, W) as traced
         scalars for edge zeroing: compiling per exact frame shape cost
         ~30 s × 24 frames through this host's tunnel (measured 738 s loki
-        stage before bucketing). The model forward stays its OWN jit (one
-        compile total); device arrays flow between the three programs
-        without touching the host.
+        stage before bucketing). The model forward stays its OWN jit.
+
+        Tiles are cut on the HOST (cheap numpy slices) and uploaded
+        directly: the dominant per-process cost through this host's
+        tunnel is LOADING each compiled executable onto the remote device
+        (measured this round: 5-800 s per program, uncacheable, while
+        execute+fetch of the same program run in ~1 s) — so the design
+        minimizes the number of distinct device programs, not host copies.
         """
         import jax
         import jax.numpy as jnp
@@ -634,7 +639,9 @@ class DeviceTiledSegmentation(Node):
         offsets = [(y, x) for y in ys for x in xs]
         Hp, Wp = Hb, Wb
         # numpy (host) constant: a jnp array here would live on device and
-        # be fetched back during every MLIR lowering (BASELINE.md).
+        # be fetched back during every MLIR lowering (BASELINE.md round-2
+        # trap; re-measured this round — warm runs stalled minutes in
+        # _array_mlir_constant_handler).
         wt = _linear_weight(ts, ts)
         post = self._post
         bs = self._cfg.batch_size or 8
@@ -651,61 +658,24 @@ class DeviceTiledSegmentation(Node):
             return jnp.where(valid, pred, 0.0)
 
         @jax.jit
-        def extract(frames_u8):  # (B, Hp, Wp) uint8 → (B·T, ts, ts) uint8
-            tiles = jnp.stack(
-                [
-                    jax.lax.slice(
-                        frames_u8, (0, oy, ox), (B, oy + ts, ox + ts)
-                    )
-                    for oy, ox in offsets
-                ],
-                axis=1,
-            )  # (B, T, ts, ts)
-            return tiles.reshape(B * len(offsets), ts, ts)
-
-        @jax.jit
-        def blend(pred_t, hs, ws):
-            # (B·T, ts, ts) f32, true extents (B,) → blended (B, Hp, Wp)
-            T = len(offsets)
-            pred_t = pred_t.reshape(B, T, ts, ts)
+        def blend(pred_chunks, tb, ty, tx, n_occ, hs, ws):
+            # Tuple of (bs, ts, ts) prediction chunks of the occupied
+            # tiles, blended at dynamic offsets; pad jobs carry zero
+            # weight. Pixels covered only by skipped (empty) tiles keep
+            # wsum 0 → pred 0, matching the host path's skip-empty Filter
+            # semantics (reference loki/pipeline.py:518). Taking the
+            # chunks as a pytree argument (instead of an eager
+            # concatenate) avoids an extra device program; the heavy
+            # postprocess chain stays its own single program (one load)
+            # while this small blend re-specializes per tile-count rung.
+            pred_t = jnp.concatenate(pred_chunks, axis=0)
             canvas = jnp.zeros((B, Hp, Wp), jnp.float32)
             wsum = jnp.zeros((B, Hp, Wp), jnp.float32)
-            for t, (oy, ox) in enumerate(offsets):
-                canvas = canvas.at[:, oy : oy + ts, ox : ox + ts].add(
-                    pred_t[:, t] * wt
-                )
-                wsum = wsum.at[:, oy : oy + ts, ox : ox + ts].add(wt)
-            pred = canvas / jnp.maximum(wsum, 1.0)
-            return edge_zero(pred, hs, ws)
-
-        @jax.jit
-        def extract_dyn(frames_u8, tb, ty, tx):
-            # Occupied tiles only (skip-empty): a lax.scan of dynamic
-            # slices — plain copies, not a batched gather (TPU gathers
-            # cost ~100× a slice; BASELINE.md platform findings).
-            def step(_, xs):
-                b, y, x = xs
-                return None, jax.lax.dynamic_slice(
-                    frames_u8, (b, y, x), (1, ts, ts)
-                )[0]
-
-            _, tiles = jax.lax.scan(step, None, (tb, ty, tx))
-            return tiles  # (Ncap, ts, ts)
-
-        @jax.jit
-        def blend_dyn(pred_t, tb, ty, tx, n_occ, hs, ws):
-            # (Ncap, ts, ts) predictions of the occupied tiles, blended at
-            # dynamic offsets. Pixels covered only by skipped (empty)
-            # tiles keep wsum 0 → pred 0, matching the host path's
-            # skip-empty Filter semantics (reference loki/pipeline.py:518).
-            canvas = jnp.zeros((B, Hp, Wp), jnp.float32)
-            wsum = jnp.zeros((B, Hp, Wp), jnp.float32)
-            wt_d = jnp.asarray(wt)
 
             def body(i, cw):
                 canvas, wsum = cw
                 b, y, x = tb[i], ty[i], tx[i]
-                w = jnp.where(i < n_occ, wt_d, 0.0)
+                w = jnp.where(i < n_occ, wt, np.float32(0.0))
                 cs = jax.lax.dynamic_slice(canvas, (b, y, x), (1, ts, ts))[0]
                 vs = jax.lax.dynamic_slice(wsum, (b, y, x), (1, ts, ts))[0]
                 canvas = jax.lax.dynamic_update_slice(
@@ -722,36 +692,19 @@ class DeviceTiledSegmentation(Node):
             pred = canvas / jnp.maximum(wsum, 1.0)
             return edge_zero(pred, hs, ws)
 
-        def run_infer(tiles, n_tiles):
-            if n_tiles <= bs:
-                if tiles.shape[0] > bs:
-                    tiles = tiles[:bs]
-                return infer(tiles)
-            preds = []
-            for i in range(0, n_tiles, bs):
-                chunk = tiles[i : i + bs]
-                if chunk.shape[0] < bs:
-                    # Pad the tail chunk so the forward never recompiles.
-                    pad = bs - chunk.shape[0]
-                    chunk = jnp.concatenate(
-                        [chunk, jnp.repeat(chunk[-1:], pad, axis=0)]
-                    )
-                    preds.append(infer(chunk)[:-pad])
-                else:
-                    preds.append(infer(chunk))
-            return jnp.concatenate(preds, 0)
-
-        def fn(frames_u8, hs, ws, occ):
-            if occ is None:
-                tiles = extract(frames_u8)
-                pred_t = run_infer(tiles, B * len(offsets))
-                pred = blend(pred_t, hs, ws)
-            else:
-                tb, ty, tx, n_occ = occ
-                tiles = extract_dyn(frames_u8, tb, ty, tx)
-                pred_t = run_infer(tiles, tb.shape[0])
-                pred = blend_dyn(pred_t, tb, ty, tx, n_occ, hs, ws)
-            return post(pred, frames_u8)
+        def fn(frames_dev, tiles_host, occ, hs, ws, device=None):
+            # tiles_host: (Ncap, ts, ts) uint8 numpy, Ncap a multiple of
+            # bs — each bs-chunk uploads with its own forward dispatch
+            # (upload/compute overlap), the forward stays ONE executable.
+            tb, ty, tx, n_occ = occ
+            chunks = []
+            for i in range(0, tiles_host.shape[0], bs):
+                chunk = tiles_host[i : i + bs]
+                if device is not None:
+                    chunk = jax.device_put(chunk, device)
+                chunks.append(infer(chunk))
+            pred = blend(tuple(chunks), tb, ty, tx, n_occ, hs, ws)
+            return post(pred, frames_dev)
 
         return fn, offsets
 
@@ -949,31 +902,37 @@ class DeviceTiledSegmentation(Node):
             device = self._devices[group_idx % len(self._devices)]
             group_idx += 1
             imgs_dev = jax.device_put(imgs, device)
-            occ = None
-            if self._skip_empty:
-                ts = self._cfg.tile_size
-                jobs = [
-                    (b, oy, ox)
-                    for b in range(B)
-                    for oy, ox in offsets
-                    if imgs[b, oy : oy + ts, ox : ox + ts].any()
-                ]
-                N = len(jobs)
-                Ncap = bs * _round_ladder(-(-max(N, 1) // bs))
-                jobs = jobs + [(0, 0, 0)] * (Ncap - N)
-                occ = (
-                    np.asarray([j[0] for j in jobs], np.int32),
-                    np.asarray([j[1] for j in jobs], np.int32),
-                    np.asarray([j[2] for j in jobs], np.int32),
-                    np.asarray(N, np.int32),
-                )
-            out = fn(imgs_dev, hs, ws, occ)
+            ts = self._cfg.tile_size
+            # Tiles are cut on the host: skip-empty keeps only tiles with
+            # any nonzero pixel (reference loki/pipeline.py:518); without
+            # it every tile of every frame runs.
+            jobs = [
+                (b, oy, ox)
+                for b in range(B)
+                for oy, ox in offsets
+                if not self._skip_empty
+                or imgs[b, oy : oy + ts, ox : ox + ts].any()
+            ]
+            N = len(jobs)
+            Ncap = bs * _round_ladder(-(-max(N, 1) // bs))
+            jobs = jobs + [(0, 0, 0)] * (Ncap - N)
+            tiles = np.empty((Ncap, ts, ts), imgs.dtype)
+            for j, (b, oy, ox) in enumerate(jobs):
+                tiles[j] = imgs[b, oy : oy + ts, ox : ox + ts]
+            occ = (
+                np.asarray([j[0] for j in jobs], np.int32),
+                np.asarray([j[1] for j in jobs], np.int32),
+                np.asarray([j[2] for j in jobs], np.int32),
+                np.asarray(N, np.int32),
+            )
+            out = fn(imgs_dev, tiles, occ, hs, ws, device=device)
             # Start the device→host copy of the small stats buffer early so
             # the transfer overlaps with later dispatches.
-            stats_fut = out[1] if self._crops_mode else out
-            copy_async = getattr(stats_fut, "copy_to_host_async", None)
-            if copy_async is not None:
-                copy_async()
+            if os.environ.get("MAZE_ASYNC_COPY", "1") != "0":
+                stats_fut = out[1] if self._crops_mode else out
+                copy_async = getattr(stats_fut, "copy_to_host_async", None)
+                if copy_async is not None:
+                    copy_async()
             pending.append((objs, out, imgs_dev, dims, (Hb, Wb)))
 
         with closing_if_closable(stream):

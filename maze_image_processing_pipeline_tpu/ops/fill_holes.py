@@ -36,7 +36,9 @@ from .label import label
 
 __all__ = ["region_filled_extra"]
 
-_BIG = jnp.int32(1 << 30)
+# Python int, NOT jnp.int32: a module-level jnp scalar is a device array
+# that every capturing trace re-fetches at lowering (BASELINE.md trap).
+_BIG = 1 << 30
 
 
 @functools.partial(jax.jit, static_argnames=("num_segments", "bg_segments"))
