@@ -49,6 +49,7 @@ def make_loki_sample(
     haul: str = "7",
     image_ext: str = ".png",
     with_telemetry: bool = True,
+    telemetry_style: str = "tmd",
 ) -> str:
     """Create a synthetic LOKI sample tree; returns the sample-root path."""
     rng = np.random.default_rng(seed)
@@ -78,15 +79,32 @@ def make_loki_sample(
 
     if with_telemetry:
         for i, t in enumerate(times[:n_frames]):
-            with open(os.path.join(sample, "Telemetrie", f"{date} {t}.tmd"), "w") as f:
-                f.write(
-                    f"GPS_LON;134.{70 + i}\n"
-                    f"GPS_LAT;84.{90 + i}\n"
-                    f"PRESS;{10.5 + i}\n"
-                    f"TEMP;{-1.5 + 0.1 * i}\n"
-                    f"OXY_CON;{300 + i}\n"
-                    f"COND_SALY;{34.2}\n"
-                )
+            # telemetry_style: "tmd" writes modern .tmd snapshots; "dat"
+            # writes only old-style .dat files (`A=1;B=2` single-line
+            # format, reference lokidata fallback); "mixed" alternates so
+            # some timestamps are ONLY covered by the .dat fallback.
+            style = telemetry_style
+            if style == "mixed":
+                style = "tmd" if i % 2 == 0 else "dat"
+            if style == "tmd":
+                fn = os.path.join(sample, "Telemetrie", f"{date} {t}.tmd")
+                with open(fn, "w") as f:
+                    f.write(
+                        f"GPS_LON;134.{70 + i}\n"
+                        f"GPS_LAT;84.{90 + i}\n"
+                        f"PRESS;{10.5 + i}\n"
+                        f"TEMP;{-1.5 + 0.1 * i}\n"
+                        f"OXY_CON;{300 + i}\n"
+                        f"COND_SALY;{34.2}\n"
+                    )
+            else:
+                fn = os.path.join(sample, "Telemetrie", f"{date} {t}.dat")
+                with open(fn, "w") as f:
+                    f.write(
+                        f"GPS_LON=134.{70 + i};GPS_LAT=84.{90 + i};"
+                        f"PRESS={10.5 + i};TEMP={-1.5 + 0.1 * i};"
+                        f"OXY_CON={300 + i};COND_SALY=34.2\n"
+                    )
 
     pic_dir = os.path.join(sample, "Pictures", f"{date} 12")
     os.makedirs(pic_dir, exist_ok=True)

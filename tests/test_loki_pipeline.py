@@ -273,6 +273,107 @@ class TestLokiEndToEnd:
         jpgs = [n for n in names if n.endswith(".jpg")]
         assert len(jpgs) == 12  # 6 images + 6 masks
 
+    def test_golden_dat_fallback_and_annotation_merge(self, tmp_path):
+        """Real-haul fidelity: telemetry .dat-fallback + annotation-merge
+        downgrade, end-to-end (reference maze_ipp/loki/pipeline.py:242-254
+        telemetry read, :991-1073 annotation merge).
+
+        The sample tree alternates .tmd / .dat telemetry snapshots, so
+        half the frames are ONLY covered by the old-format fallback; a
+        second pipeline pass merges a prior EcoTaxa export where one
+        annotation matches exactly (stays validated) and one overlaps
+        below min_validated_overlap (downgrades to predicted).
+        """
+        make_loki_sample(
+            str(tmp_path / "data"),
+            n_frames=4,
+            objects_per_frame=2,
+            telemetry_style="mixed",
+        )
+        target_dir = str(tmp_path / "out")
+        config = {
+            "input": {"path": str(tmp_path / "data")},
+            "segmentation": {"threshold": 60},
+            "postprocess": {},
+            "output": {"target_dir": target_dir},
+        }
+        Runner._configure_and_run(config)
+
+        archive_fn = os.path.join(target_dir, "LOKI_PS122-1_7.zip")
+        df = read_tsv(Archive(archive_fn) / "ecotaxa_export.tsv")
+        assert len(df) == 8
+
+        # Golden telemetry values: frame i carries PRESS = 10.5 + i; the
+        # odd frames exist only as .dat files, so their presence proves
+        # the fallback was read and joined by nearest timestamp.
+        by_frame = df.groupby("object_frame_id")["object_pressure"].first()
+        assert len(by_frame) == 4
+        np.testing.assert_allclose(
+            np.sort(by_frame.to_numpy()), [10.5, 11.5, 12.5, 13.5]
+        )
+        lon = df.groupby("object_frame_id")["object_lon"].first()
+        np.testing.assert_allclose(
+            np.sort(lon.to_numpy()), [134.70, 134.71, 134.72, 134.73]
+        )
+
+        # Build a prior export: object 0's bbox matches exactly
+        # (overlap 1.0 >= min_validated_overlap -> stays validated);
+        # object 1's bbox is shifted so IoU lands in
+        # [min_overlap, min_validated_overlap) -> downgraded.
+        o0, o1 = df.iloc[0], df.iloc[1]
+        w, h = int(o1["object_width"]), int(o1["object_height"])
+        shift = max(1, int(round(w * 0.25)))
+        annotations = pd.DataFrame(
+            {
+                "object_id": ["prior0", "prior1"],
+                "object_frame_id": [
+                    o0["object_frame_id"],
+                    o1["object_frame_id"],
+                ],
+                "object_posx": [o0["object_posx"], o1["object_posx"] + shift],
+                "object_posy": [o0["object_posy"], o1["object_posy"]],
+                "object_width": [o0["object_width"], w],
+                "object_height": [o0["object_height"], h],
+                "object_annotation_category": ["Calanus", "Oithona"],
+                "object_annotation_status": ["validated", "validated"],
+            }
+        )
+        iou_shift = (w - shift) / (w + shift)  # overlap of the shifted bbox
+        assert 0.5 <= iou_shift < 0.95
+
+        ann_fn = str(tmp_path / "prior.tsv")
+        annotations.to_csv(ann_fn, sep="\t", index=False)
+
+        target2 = str(tmp_path / "out2")
+        config2 = {
+            "input": {"path": str(tmp_path / "data")},
+            "segmentation": {"threshold": 60},
+            "postprocess": {
+                "merge_annotations": {
+                    "annotations_fn": ann_fn,
+                    "min_overlap": 0.4,
+                    "min_validated_overlap": 0.95,
+                }
+            },
+            "output": {"target_dir": target2},
+        }
+        Runner._configure_and_run(config2)
+        df2 = read_tsv(
+            Archive(os.path.join(target2, "LOKI_PS122-1_7.zip"))
+            / "ecotaxa_export.tsv"
+        )
+        df2 = df2.set_index("object_id")
+        m0 = df2.loc[o0["object_id"]]
+        assert m0["object_annotation_category"] == "Calanus"
+        assert m0["object_annotation_status"] == "validated"
+        assert m0["object_annotation_merge_src"] == "prior0"
+        m1 = df2.loc[o1["object_id"]]
+        assert m1["object_annotation_category"] == "Oithona"
+        assert m1["object_annotation_status"] == "predicted"
+        # Objects with no prior annotation get blanked columns.
+        rest = df2.drop([o0["object_id"], o1["object_id"]])
+        assert (rest["object_annotation_category"].fillna("") == "").all()
+
     def test_skip_existing(self, tmp_path):
         make_loki_sample(str(tmp_path / "data"), n_frames=1, objects_per_frame=1)
         target_dir = str(tmp_path / "out")
