@@ -1,12 +1,16 @@
 """Pallas TPU kernel: fused GroupNorm over NHWC activations.
 
-GroupNorm math is memory-bound and fast in isolation (~0.7 ms on a
-(4,1024²,32) bf16 activation, ≈3 HBM passes). Composed between convs in
-the U-Net, however, XLA's layout/fusion choices around the spatial reduce
-cost ~15 ms *per norm layer* (measured: norm=True 56.4 ms/tile vs
-norm=False 19.4 ms/tile with 10 norm layers on the high-res levels —
-BASELINE.md). Like the CCL lane scans (`ops/pallas_scan.py`), the fix is
-an opaque Pallas program that pins the boundary layout by construction:
+STATUS (round 3): **measured negative result — not dispatched.** The
+kernel was written when flax GroupNorm composed with convs cost ~15 ms
+per norm layer (round-2 BASELINE.md) and won at the time (17.6 → 28.6
+tiles/s). After the device-constant/lowering fixes, the lane-preserving
+XLA formulation (``models/layers.py``) runs AT the 3-HBM-pass roofline
+both isolated and composed (+0.19 ms/instance at L0), while this kernel
+pays Mosaic's lane padding (C=32 → 128 lanes = 4× HBM traffic; 23.8 ms
+isolated per (8, 1024², 32) batch, tools/perf_gn.py). Kept, like
+``ops/pallas_relabel.py``, as a tested record of the approach.
+
+Design (two-phase strip grid):
 
 * two-phase grid over row strips: phase 0 accumulates per-channel Σx and
   Σx² (f32) in VMEM; the first phase-1 step folds them through the

@@ -205,19 +205,17 @@ def test_lane_preserving_groupnorm_matches_flax():
     )
 
 
-def test_pallas_groupnorm_custom_vjp_gradients(monkeypatch):
-    """The TPU GroupNorm wrapper's custom_vjp (Pallas forward, XLA-ref
-    backward) must produce the same gradients as differentiating the
-    reference directly; exercised on CPU via interpret mode."""
-    import functools
+def test_pallas_groupnorm_forward_matches_reference():
+    """group_norm_pallas ≡ the XLA-ref forward (interpret mode on CPU).
 
-    from maze_image_processing_pipeline_tpu.models import layers, pallas_norm
-
-    orig = pallas_norm.group_norm_pallas
-    monkeypatch.setattr(
-        pallas_norm,
-        "group_norm_pallas",
-        functools.partial(orig, interpret=True),
+    The kernel is no longer dispatched by ``layers.GroupNorm`` — the XLA
+    formulation now composes at roofline while the kernel pays a 4×
+    lane-padding tax at narrow channels (round-3 measurement,
+    BASELINE.md) — but it is kept as a measured negative result, so its
+    parity coverage stays."""
+    from maze_image_processing_pipeline_tpu.models import layers
+    from maze_image_processing_pipeline_tpu.models.pallas_norm import (
+        group_norm_pallas,
     )
 
     rng = np.random.default_rng(7)
@@ -225,18 +223,13 @@ def test_pallas_groupnorm_custom_vjp_gradients(monkeypatch):
     scale = jnp.asarray(rng.standard_normal(16), jnp.float32)
     bias = jnp.asarray(rng.standard_normal(16), jnp.float32)
 
-    def loss_tpu(x, s, b):
-        return jnp.sum(layers._group_norm_tpu(x, s, b, 4, 1e-6) ** 2)
-
-    def loss_ref(x, s, b):
-        return jnp.sum(layers._group_norm_ref(x, s, b, 4, 1e-6) ** 2)
-
-    g_tpu = jax.grad(loss_tpu, argnums=(0, 1, 2))(x, scale, bias)
-    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(x, scale, bias)
-    for a, b_ in zip(g_tpu, g_ref):
-        np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-4
-        )
+    y_k = group_norm_pallas(
+        x, scale, bias, num_groups=4, epsilon=1e-6, interpret=True
+    )
+    y_r = layers._group_norm_ref(x, scale, bias, 4, 1e-6)
+    np.testing.assert_allclose(
+        np.asarray(y_k), np.asarray(y_r), rtol=1e-5, atol=1e-5
+    )
 
 
 def test_pallas_groupnorm_backward_kernel_matches_reference():
