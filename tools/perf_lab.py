@@ -103,7 +103,15 @@ def main() -> None:
         labels, _ = lm.remove_small_objects(labels, MIN_AREA, num_segments=256)
         return labels
 
-    results = {}
+    class _Printing(dict):
+        def __setitem__(self, name, v):
+            super().__setitem__(name, v)
+            if name.endswith("fps"):
+                print(f"{name:24s} {v:10.1f} frames/s", flush=True)
+            else:
+                print(f"{name:24s} {v * 1e3:10.2f} ms/batch", flush=True)
+
+    results = _Printing()
 
     if want("morph"):
         results["morph"] = time_loop(
@@ -236,7 +244,22 @@ def main() -> None:
             return jnp.sum(props["area"]) + jnp.sum(props["intensity_mean"])
 
         results["props"] = time_loop(f, x)
-    for th in (8, 32, 64):
+    if want("propsxla"):
+        from maze_image_processing_pipeline_tpu.ops.regionprops_fused import (
+            regionprops_fused,
+        )
+
+        labels_fixed = jax.device_put(np.asarray(to_labels(x)))
+
+        def f(im):
+            props = regionprops_fused(
+                labels_fixed, im, num_segments=NUM_SEGMENTS
+            )
+            return jnp.sum(props["area"]) + jnp.sum(props["intensity_mean"])
+
+        results["propsxla"] = time_loop(f, x)
+
+    for th in (8, 16, 32, 64):
         if want(f"props{th}"):
             labels_fixed = jax.device_put(np.asarray(to_labels(x)))
 
@@ -246,7 +269,10 @@ def main() -> None:
                 )
                 return jnp.sum(props["area"]) + jnp.sum(props["intensity_mean"])
 
-            results[f"props{th}"] = time_loop(f, x)
+            try:
+                results[f"props{th}"] = time_loop(f, x)
+            except Exception as e:  # e.g. scoped-VMEM OOM at large strips
+                print(f"props{th} FAILED: {str(e)[:200]}", flush=True)
 
     if want("rsmall"):
         labels_fixed = jax.device_put(np.asarray(to_labels(x)))
@@ -289,11 +315,6 @@ def main() -> None:
         results["chain_anchor"] = t
         results["chain_anchor_fps"] = BATCH / t
 
-    for name, v in results.items():
-        if name.endswith("fps"):
-            print(f"{name:24s} {v:10.1f} frames/s", flush=True)
-        else:
-            print(f"{name:24s} {v * 1e3:10.2f} ms/batch", flush=True)
 
 
 if __name__ == "__main__":
