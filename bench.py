@@ -73,29 +73,24 @@ def _chain_factory():
 
     from maze_image_processing_pipeline_tpu.ops import label as lm
     from maze_image_processing_pipeline_tpu.ops import morphology as morph
-    from maze_image_processing_pipeline_tpu.ops.pallas_props import (
-        regionprops_fused_pallas,
-    )
     from maze_image_processing_pipeline_tpu.ops.regionprops_fused import (
         regionprops_fused,
     )
 
-    use_pallas = jax.default_backend() == "tpu"
-
+    # Fastest measured composition (round 3, perf_lab): Pallas CCL lane
+    # scans (label's default on TPU) + XLA one-hot region measurement.
+    # The Pallas props kernel lost its advantage after the lowering fixes
+    # (43.6 vs 22.3 ms/batch composed; BASELINE.md round-3 model-path
+    # findings).
     def chain(images):
         mask = images > THRESHOLD
         mask = morph.binary_opening(mask, RADIUS)
         mask = morph.binary_closing(mask, RADIUS)
         labels, n = lm.label(mask, connectivity=2)
         labels, n = lm.remove_small_objects(labels, MIN_AREA, num_segments=256)
-        if use_pallas:
-            props = regionprops_fused_pallas(
-                labels, images, num_segments=NUM_SEGMENTS
-            )
-        else:
-            props = regionprops_fused(
-                labels, images, num_segments=NUM_SEGMENTS, compute_histogram=True
-            )
+        props = regionprops_fused(
+            labels, images, num_segments=NUM_SEGMENTS, compute_histogram=True
+        )
         return n, props
 
     return jax, jnp, chain

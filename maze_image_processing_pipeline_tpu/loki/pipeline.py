@@ -370,15 +370,18 @@ def _make_frame_chain(
     from ..ops import label as lm
     from ..ops import morphology as morph
     from ..ops.fill_holes import region_filled_extra
-    from ..ops.pallas_props import regionprops_fused_pallas
     from ..ops.regionprops_fused import regionprops_fused
 
-    # Pallas kernels are the fastest steady-state chain (bench.py), but
+    # The Pallas CCL lane scans are the fastest steady-state chain
+    # (round-3 perf_lab: 22.3 vs 37.8 ms/batch with the XLA scans), but
     # each pallas_call instance costs a Mosaic kernel compilation at trace
-    # time (~45 s through this host's remote tunnel, uncacheable) and the
-    # chain contains ~10 of them — streaming runs that trace once per
-    # process default to the pure-XLA formulations (~15 ms/frame slower on
-    # device, invisible next to host I/O). Opt in via cfg.pallas_kernels.
+    # time (~45 s through this host's remote tunnel, uncacheable) —
+    # streaming runs that trace once per process default to the pure-XLA
+    # formulations. Opt in via cfg.pallas_kernels. Region measurement
+    # always uses the XLA one-hot formulation: the Pallas props kernel
+    # pays a 4×-lane-padding tax and lost its round-2 advantage after the
+    # lowering fixes (43.6 vs 22.3 ms/batch composed; BASELINE.md round-3,
+    # kept as a negative result like models/pallas_norm.py).
     use_pallas = cfg.pallas_kernels and jax.default_backend() == "tpu"
 
     pack_keys: list = []
@@ -397,17 +400,12 @@ def _make_frame_chain(
             labels, n = lm.remove_small_objects(
                 labels, cfg.min_area, num_segments=4 * cfg.max_regions
             )
-        if use_pallas:
-            props = regionprops_fused_pallas(
-                labels, image, num_segments=cfg.max_regions
-            )
-        else:
-            props = regionprops_fused(
-                labels,
-                image,
-                num_segments=cfg.max_regions,
-                compute_histogram=True,
-            )
+        props = regionprops_fused(
+            labels,
+            image,
+            num_segments=cfg.max_regions,
+            compute_histogram=True,
+        )
         if compute_filled:
             extra, ambiguous = region_filled_extra(
                 labels,

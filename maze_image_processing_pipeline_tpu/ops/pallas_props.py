@@ -1,10 +1,19 @@
 """Pallas TPU kernel: single-pass fused region measurement.
 
-XLA lowers the one-hot reductions of :mod:`.regionprops_fused` as separate
-passes over the label image (measured ~70 ms per masked reduce at R=256 on
-v5e — it re-materializes the broadcast each time). This kernel makes the
-whole measurement **one pass over HBM** (round 1 used two; the second pass
-is eliminated analytically):
+STATUS (round 3): **measured negative result — no longer dispatched.**
+When written, XLA lowered the one-hot reductions of
+:mod:`.regionprops_fused` as separate passes over the label image
+(~70 ms per masked reduce at R=256 on v5e) and this kernel won. After
+the round-2/3 lowering fixes, the XLA formulation composes in the
+segmentation chain at 22.3 ms/batch vs 43.6 with this kernel
+(tools/perf_lab.py `chainxla` vs `chain`): Mosaic pads narrow lane dims
+and the strip grid re-materializes the (TH, W, R) one-hot per strip,
+while XLA now fuses the contractions into full-width MXU passes. Kept,
+like ``models/pallas_norm.py`` and ``ops/pallas_relabel.py``, as a
+tested record of the approach. Original design:
+
+This kernel makes the whole measurement **one pass over HBM** (round 1
+used two; the second pass is eliminated analytically):
 
 * One grid sweep over row-strips builds the label one-hot once per
   ``(TH, W)`` strip in VMEM and feeds it to

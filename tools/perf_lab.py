@@ -299,6 +299,44 @@ def main() -> None:
         t = time_loop(f, x)
         results["chain"] = t
         results["chain_fps"] = BATCH / t
+    if want("chainxla"):
+        from maze_image_processing_pipeline_tpu.ops.regionprops_fused import (
+            regionprops_fused,
+        )
+
+        def f(im):
+            mask = morph_chain(im)
+            labels, n = lm.label(mask, connectivity=2)
+            labels, n = lm.remove_small_objects(labels, MIN_AREA, num_segments=256)
+            props = regionprops_fused(labels, im, num_segments=NUM_SEGMENTS)
+            return (
+                jnp.sum(n).astype(jnp.float32)
+                + jnp.sum(props["area"])
+            )
+
+        t = time_loop(f, x)
+        results["chainxla"] = t
+        results["chainxla_fps"] = BATCH / t
+    if want("chainprod"):
+        # The production default config: pallas_kernels=False -> XLA CCL
+        # lane scans AND XLA props.
+        from maze_image_processing_pipeline_tpu.ops.regionprops_fused import (
+            regionprops_fused,
+        )
+
+        def f(im):
+            mask = morph_chain(im)
+            labels, n = lm.label(mask, connectivity=2, pallas=False)
+            labels, n = lm.remove_small_objects(labels, MIN_AREA, num_segments=256)
+            props = regionprops_fused(labels, im, num_segments=NUM_SEGMENTS)
+            return (
+                jnp.sum(n).astype(jnp.float32)
+                + jnp.sum(props["area"])
+            )
+
+        t = time_loop(f, x)
+        results["chainprod"] = t
+        results["chainprod_fps"] = BATCH / t
     if want("chain_anchor"):
 
         def f(im):
