@@ -59,7 +59,7 @@ def model_dir(tmp_path_factory):
 
 def test_loki_jax_segmentation_end_to_end(tmp_path, model_dir):
     make_loki_sample(
-        str(tmp_path / "data"), n_frames=3, objects_per_frame=2, frame_shape=(280, 360)
+        str(tmp_path / "data"), n_frames=3, objects_per_frame=2, frame_shape=(180, 230)
     )
     target_dir = str(tmp_path / "out")
 
@@ -78,6 +78,7 @@ def test_loki_jax_segmentation_end_to_end(tmp_path, model_dir):
                     "opening_radius": 1,
                     "min_area": 20,
                     "clear_border": False,
+                    "max_regions": 16,
                 },
                 "padding": 10,
             }
@@ -117,7 +118,7 @@ def test_loki_jax_without_stitch(tmp_path, model_dir):
                 "stitch": False,
                 "tile_size": 64,
                 "tile_stride": 48,
-                "postprocess": {"min_area": 10},
+                "postprocess": {"min_area": 10, "max_regions": 16},
                 "padding": 5,
             }
         },
@@ -137,7 +138,7 @@ def test_device_blend_matches_host_blend(tmp_path, model_dir):
     DeviceFramePostprocess) it replaces."""
     make_loki_sample(
         str(tmp_path / "data"), n_frames=2, objects_per_frame=3,
-        frame_shape=(280, 360),
+        frame_shape=(180, 230),
     )
 
     def run(device_blend, out):
@@ -156,6 +157,7 @@ def test_device_blend_matches_host_blend(tmp_path, model_dir):
                             "closing_radius": 2,
                             "opening_radius": 1,
                             "min_area": 20,
+                            "max_regions": 16,
                         },
                         "padding": 10,
                     }
@@ -209,7 +211,7 @@ def test_n_threads_parallel_host_region(tmp_path, model_dir):
     DataParallelPipeline; output must match the serial run."""
     make_loki_sample(
         str(tmp_path / "data"), n_frames=2, objects_per_frame=3,
-        frame_shape=(280, 360),
+        frame_shape=(180, 230),
     )
 
     def run(n_threads, out):
@@ -223,7 +225,8 @@ def test_n_threads_parallel_host_region(tmp_path, model_dir):
                         "tile_size": 128,
                         "tile_stride": 96,
                         "n_threads": n_threads,
-                        "postprocess": {"min_area": 20, "closing_radius": 1},
+                        "postprocess": {"min_area": 20, "closing_radius": 1,
+                                        "max_regions": 16},
                     }
                 },
                 "postprocess": {},

@@ -40,7 +40,7 @@ def _run_loki(tmp_path, model_dir, name, parallel):
     data_dir = tmp_path / "data"
     if not data_dir.exists():
         make_loki_sample(
-            str(data_dir), n_frames=4, objects_per_frame=3, frame_shape=(280, 360)
+            str(data_dir), n_frames=4, objects_per_frame=3, frame_shape=(180, 230)
         )
     target_dir = str(tmp_path / name)
     config = {
@@ -53,7 +53,8 @@ def _run_loki(tmp_path, model_dir, name, parallel):
                 "tile_size": 128,
                 "tile_stride": 96,
                 "stitch": True,
-                "postprocess": {"closing_radius": 2, "min_area": 20},
+                "postprocess": {"closing_radius": 2, "min_area": 20,
+                                "max_regions": 16},
                 "padding": 10,
             }
         },
