@@ -109,36 +109,60 @@ def main():
                 report(f"convblock L{i} {cin}->{f} @{r} norm={norm}", t)
 
     if on("dec"):
-        # Decoder level: upsample + 2x2 conv + concat + ConvBlock.
-        for i in range(4):
+        # Decoder level: upsample + 2x2 conv + concat + ConvBlock, with
+        # norm on/off and a transposed-conv upsample variant (kernel 2
+        # stride 2 = non-overlapping taps, 4x fewer up-conv FLOPs than
+        # broadcast-upsample + 2x2 SAME conv).
+        for i in range(2):  # L0/L1 dominate; deeper levels are <0.2 ms/tile
             f = 32 * 2**i
             r = TS // 2**i
 
-            class Dec(nn.Module):
-                @nn.compact
-                def __call__(self, lo, skip):
-                    Bq, H, W, C = lo.shape
-                    up = jnp.broadcast_to(
-                        lo[:, :, None, :, None, :], (Bq, H, 2, W, 2, C)
-                    ).reshape(Bq, H * 2, W * 2, C)
-                    up = nn.Conv(f, (2, 2), padding="SAME", dtype=jnp.bfloat16)(up)
-                    cat = jnp.concatenate([skip, up], axis=-1)
-                    return ConvBlock(f, jnp.bfloat16, True)(cat)
+            for norm in (True, False):
+                for up_kind in ("bcast", "tconv"):
 
-            dec = Dec()
-            lo = jax.device_put(
-                np.random.default_rng(2).random((B, r // 2, r // 2, 2 * f), np.float32)
-            )
-            skip = jax.device_put(
-                np.random.default_rng(3).random((B, r, r, f), np.float32)
-            )
-            p = dec.init(rng, jnp.zeros((1, 16, 16, 2 * f)), jnp.zeros((1, 32, 32, f)))
+                    class Dec(nn.Module):
+                        nrm: bool = norm
+                        upk: str = up_kind
+                        feat: int = f
 
-            def fwd(pp, im):
-                return jnp.sum(dec.apply(pp, im, skip).astype(jnp.float32))
+                        @nn.compact
+                        def __call__(self, lo, skip):
+                            if self.upk == "tconv":
+                                up = nn.ConvTranspose(
+                                    self.feat, (2, 2), strides=(2, 2),
+                                    dtype=jnp.bfloat16,
+                                )(lo)
+                            else:
+                                Bq, H, W, C = lo.shape
+                                up = jnp.broadcast_to(
+                                    lo[:, :, None, :, None, :],
+                                    (Bq, H, 2, W, 2, C),
+                                ).reshape(Bq, H * 2, W * 2, C)
+                                up = nn.Conv(
+                                    self.feat, (2, 2), padding="SAME",
+                                    dtype=jnp.bfloat16,
+                                )(up)
+                            cat = jnp.concatenate([skip, up], axis=-1)
+                            return ConvBlock(self.feat, jnp.bfloat16, self.nrm)(cat)
 
-            t = time_loop_p(fwd, p, lo)
-            report(f"decoder L{i} f={f} @{r} (skip closure)", t)
+                    dec = Dec()
+                    lo = jax.device_put(
+                        np.random.default_rng(2).random(
+                            (B, r // 2, r // 2, 2 * f), np.float32
+                        )
+                    )
+                    skip = jax.device_put(
+                        np.random.default_rng(3).random((B, r, r, f), np.float32)
+                    )
+                    p = dec.init(
+                        rng, jnp.zeros((1, 16, 16, 2 * f)), jnp.zeros((1, 32, 32, f))
+                    )
+
+                    def fwd(pp, im):
+                        return jnp.sum(dec.apply(pp, im, skip).astype(jnp.float32))
+
+                    t = time_loop_p(fwd, p, lo)
+                    report(f"decoder L{i} f={f} @{r} norm={norm} up={up_kind}", t)
 
     if on("conv1"):
         # Isolated single 3x3 convs at L0 width.
