@@ -15,6 +15,7 @@ from typing import Any, Dict, List, Mapping, Optional, Sequence
 import numpy as np
 
 __all__ = [
+    "round_ladder",
     "convert_img_dtype",
     "add_note",
     "recursive_update",
@@ -22,6 +23,23 @@ __all__ = [
     "natsort_key",
     "FormatParser",
 ]
+
+
+def round_ladder(m: int) -> int:
+    """Smallest value >= m from the {1, 1.5}*2^k ladder (1,2,3,4,6,8,12,...).
+
+    Shared by the device tiling/crop paths to quantize dynamic batch and
+    job counts to a small set of rungs: every distinct padded size is a
+    separate compiled program, and each program pays an executable load
+    through tunneled TPU hosts (BASELINE.md round-3)."""
+    c = 1
+    while True:
+        if m <= c:
+            return c
+        c15 = c * 3 // 2
+        if c15 > c and m <= c15:
+            return c15
+        c *= 2
 
 
 def convert_img_dtype(image, dtype) -> np.ndarray:

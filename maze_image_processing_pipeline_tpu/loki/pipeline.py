@@ -29,7 +29,7 @@ import numpy as np
 import pandas as pd
 
 from .. import __version__ as _version
-from ..common import natsorted
+from ..common import natsorted, round_ladder as _round_ladder
 from ..config import generate_yaml_example  # noqa: F401  (re-exported for docs)
 from ..dataio import Archive, EcotaxaWriter, ImageReader, Telemetry, read_tsv
 from ..dataio.loki import LOG_FIELDS_TO_ECOTAXA, find_data_roots, read_log, read_yaml
@@ -469,24 +469,6 @@ def _unpack_frame_batch(dev_out, dims, Hb, Wb, B, pack_keys):
     return out
 
 
-def _round_ladder(m: int) -> int:
-    """Smallest value ≥ m from the {1, 1.5}·2^k ladder (1,2,3,4,6,8,12,…).
-
-    Count-dependent program shapes (occupied tiles, crop slots) are padded
-    to ladder rungs so a haul compiles a handful of variants instead of one
-    per distinct count (each cold compile costs ~20-40 s through this
-    host's TPU tunnel; max padding waste is 33%).
-    """
-    c = 1
-    while True:
-        if m <= c:
-            return c
-        c15 = c * 3 // 2
-        if c15 > c and m <= c15:
-            return c15
-        c *= 2
-
-
 def _unpack_stats_batch(dev_out, B, pack_keys):
     """Unpack a frame GROUP's labels-free stats buffer (ONE transfer)."""
     flat = np.asarray(dev_out)
@@ -759,9 +741,7 @@ class DeviceTiledSegmentation(Node):
         return buckets, region_plans
 
     def _extract_crops(self, labels_dev, frames_dev, stats, dims):
-        """Cut every region's crop on device; ONE packed fetch for all."""
-        import jax.numpy as jnp
-
+        """Cut every region's crop on device; one fetch per size bucket."""
         from ..ops.crops import extract_region_crops
 
         Hp, Wp = frames_dev.shape[-2:]
@@ -788,19 +768,37 @@ class DeviceTiledSegmentation(Node):
             )
             layout.append((key, Ncap, Sh, Sw, offset))
             offset += 2 * Ncap * Sh * Sw
-        if not parts:
+        R = self._post_cfg.max_regions
+        any_overflow = any(stats[b][0] > R - 1 for b in range(len(dims)))
+        if not parts and not any_overflow:
             return [[] for _ in dims]
-        flat = np.asarray(parts[0] if len(parts) == 1 else jnp.concatenate(parts))
-
+        # Fetch each bucket's buffer separately: an eager concatenate would
+        # be one more device program per bucket-shape combination, and each
+        # distinct program pays the 5-800 s executable load through the
+        # tunnel (BASELINE.md round-3).
+        for part in parts:
+            copy_async = getattr(part, "copy_to_host_async", None)
+            if copy_async is not None:
+                copy_async()
         views = {}
-        for key, Ncap, Sh, Sw, off in layout:
+        for (key, Ncap, Sh, Sw, _), part in zip(layout, parts):
+            fp = np.asarray(part)
             sz = Ncap * Sh * Sw
             views[key] = (
-                flat[off : off + sz].reshape(Ncap, Sh, Sw),
-                flat[off + sz : off + 2 * sz].reshape(Ncap, Sh, Sw),
+                fp[:sz].reshape(Ncap, Sh, Sw),
+                fp[sz : 2 * sz].reshape(Ncap, Sh, Sw),
             )
 
         import scipy.ndimage as ndi
+
+        # Frames with more regions than the fused pass measures (label ids
+        # >= max_regions) fall back to host extraction for the overflow,
+        # matching FindRegions._iter_regions' host path so device-crops
+        # mode never silently exports fewer objects (round-3 review).
+        labels_host = frames_host = None
+        if any_overflow:
+            labels_host = np.asarray(labels_dev)
+            frames_host = np.asarray(frames_dev)
 
         regions_per_frame = []
         for b, plans in enumerate(region_plans):
@@ -838,8 +836,76 @@ class DeviceTiledSegmentation(Node):
                         other_mask=other,
                     )
                 )
+            n, _ = stats[b]
+            if n > R - 1 and labels_host is not None:
+                regions.extend(
+                    self._host_overflow_regions(
+                        labels_host[b], frames_host[b], dims[b], int(n)
+                    )
+                )
             regions_per_frame.append(regions)
         return regions_per_frame
+
+    def _host_overflow_regions(self, labels_p, frame_p, dim, n):
+        """Host extraction of regions the fused pass could not measure
+        (label >= max_regions), mirroring FindRegions._iter_regions'
+        host-props fallback (engine/image.py)."""
+        import scipy.ndimage as ndi
+
+        from ..ops.host_props import host_region_props
+
+        H, W = dim
+        labels = np.asarray(labels_p)[:H, :W]
+        frame = np.asarray(frame_p)[:H, :W]
+        padding = int(getattr(self._cfg, "padding", 0))
+        min_intensity = getattr(self._cfg, "min_intensity", None)
+        R = self._post_cfg.max_regions
+        out = []
+        slices = ndi.find_objects(labels)
+        for idx in range(R - 1, min(n, len(slices))):
+            sl = slices[idx]
+            if sl is None:
+                continue
+            label = idx + 1
+            bbox = (sl[0].start, sl[1].start, sl[0].stop, sl[1].stop)
+            py0 = max(0, bbox[0] - padding)
+            px0 = max(0, bbox[1] - padding)
+            py1 = min(H, bbox[2] + padding)
+            px1 = min(W, bbox[3] + padding)
+            lab_crop = labels[py0:py1, px0:px1]
+            mask = lab_crop == label
+            inten = frame[py0:py1, px0:px1]
+            if (
+                min_intensity is not None
+                and float(np.max(inten[mask], initial=0)) < min_intensity
+            ):
+                continue
+            props = {k: v[1] for k, v in host_region_props(mask, inten).items()}
+            for key, off in (
+                ("min_row", py0),
+                ("max_row", py0),
+                ("centroid_row", py0),
+                ("weighted_centroid_row", py0),
+                ("min_col", px0),
+                ("max_col", px0),
+                ("centroid_col", px0),
+                ("weighted_centroid_col", px0),
+            ):
+                if key in props:
+                    props[key] = props[key] + off
+            out.append(
+                RegionInfo(
+                    label,
+                    bbox,
+                    (py0, px0, py1, px1),
+                    mask,
+                    inten.copy(),
+                    props,
+                    float(ndi.binary_fill_holes(mask).sum()),
+                    other_mask=(lab_crop > 0) & ~mask,
+                )
+            )
+        return out
 
     def transform_stream(self, stream: Stream) -> Stream:
         import collections

@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..common import round_ladder as _round_ladder
 from ..engine.batch import Batch
 from ..engine.core import Node, Output, RawOrVariable, ReturnOutputs, Stream, closing_if_closable
 from .model_io import LoadedModel
@@ -46,13 +47,16 @@ __all__ = [
 
 
 def default_device_pre(x: jnp.ndarray) -> jnp.ndarray:
-    """uint8 (B,H,W[,C]) → float (B,H,W,3) in [0,1] (device-side, fused)."""
+    """(B,H,W[,C]) → float (B,H,W,3) in [0,1] (device-side, fused).
+
+    Unsigned-integer images scale by 1/iinfo.max (the convert_img_dtype
+    contract); floats pass through."""
     if x.ndim == 3:
         x = x[..., None]
     if x.shape[-1] == 1:
         x = jnp.broadcast_to(x, x.shape[:-1] + (3,))
-    if x.dtype == jnp.uint8:
-        x = x.astype(jnp.float32) / 255.0
+    if jnp.issubdtype(x.dtype, jnp.unsignedinteger):
+        x = x.astype(jnp.float32) / float(jnp.iinfo(x.dtype).max)
     return x
 
 
@@ -241,18 +245,6 @@ class JaxInference(Node):
                 yield from flush_one()
 
 
-def _round_ladder(m: int) -> int:
-    """Smallest value ≥ m from the {1, 1.5}·2^k ladder (1,2,3,4,6,8,12,…)."""
-    c = 1
-    while True:
-        if m <= c:
-            return c
-        c15 = c * 3 // 2
-        if c15 > c and m <= c15:
-            return c15
-        c *= 2
-
-
 @ReturnOutputs
 @Output("predictions")
 class DeviceTiledInference(Node):
@@ -321,12 +313,21 @@ class DeviceTiledInference(Node):
         self._step = step
         self._params = model.params
         self._devices = list(mesh.devices.flat) if mesh is not None else [None]
+        # Per-instance program cache: a class-level lru_cache would key on
+        # self and pin every instance (and its params) for process life.
+        self._programs_cache = {}
 
     def _input_names(self):
         return ("image",)
 
-    @functools.lru_cache(maxsize=None)
     def _programs(self, Hb: int, Wb: int):
+        cached = self._programs_cache.get((Hb, Wb))
+        if cached is None:
+            cached = self._build_programs(Hb, Wb)
+            self._programs_cache[(Hb, Wb)] = cached
+        return cached
+
+    def _build_programs(self, Hb: int, Wb: int):
         """Blend program for one shape bucket (auto-specialized on the
         job-count ladder via input shapes). Tiles are cut on the HOST and
         uploaded per forward chunk: the dominant per-process tunnel cost
@@ -389,12 +390,16 @@ class DeviceTiledInference(Node):
             h, w = img.shape[:2]
             Hb = max(1 << (max(h, ts) - 1).bit_length(), ts)
             Wb = max(1 << (max(w, ts) - 1).bit_length(), ts, 128)
-            buckets.setdefault((Hb, Wb), []).append(i)
+            # dtype/channels are part of the key: mixed inputs (e.g. a u16
+            # haul next to u8) batch separately instead of failing.
+            buckets.setdefault(
+                (Hb, Wb, str(img.dtype), img.shape[2:]), []
+            ).append(i)
 
         parts = []
         layout = []  # (bucket_key, idxs, Bo, Cout)
-        for key in sorted(buckets):
-            Hb, Wb = key
+        for key in sorted(buckets, key=str):
+            Hb, Wb = key[:2]
             idxs = buckets[key]
             Bo = len(idxs)
             trailing = images[idxs[0]].shape[2:]
@@ -417,7 +422,7 @@ class DeviceTiledInference(Node):
             N = len(jobs)
             Ncap = self.batch_size * _round_ladder(-(-N // self.batch_size))
             jobs = jobs + [(0, 0, 0)] * (Ncap - N)
-            tiles = np.zeros((Ncap, ts, ts) + trailing, np.uint8)
+            tiles = np.zeros((Ncap, ts, ts) + trailing, images[idxs[0]].dtype)
             for j, t in enumerate(tile_arrays):
                 tiles[j] = t
             tb = np.asarray([j[0] for j in jobs], np.int32)
@@ -440,20 +445,20 @@ class DeviceTiledInference(Node):
             parts.append(flat)
             layout.append((key, idxs, Bo_cap, int(preds[0].shape[-1])))
 
-        out = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
-        copy_async = getattr(out, "copy_to_host_async", None)
-        if copy_async is not None:
-            copy_async()
-        return out, layout
+        # One fetch per bucket: an eager concatenate would add a distinct
+        # device program per bucket-shape combination, each paying the
+        # executable-load cost through the tunnel (BASELINE.md round-3).
+        for part in parts:
+            copy_async = getattr(part, "copy_to_host_async", None)
+            if copy_async is not None:
+                copy_async()
+        return parts, layout
 
-    def _unpack_chunk(self, out, layout, images):
-        flat = np.asarray(out)
+    def _unpack_chunk(self, parts, layout, images):
         results = [None] * len(images)
-        off = 0
-        for (Hb, Wb), idxs, Bo, Cout in layout:
-            sz = Bo * Hb * Wb * Cout
-            block = flat[off : off + sz].reshape(Bo, Hb, Wb, Cout)
-            off += sz
+        for part, (key, idxs, Bo, Cout) in zip(parts, layout):
+            Hb, Wb = key[:2]
+            block = np.asarray(part).reshape(Bo, Hb, Wb, Cout)
             for bi, i in enumerate(idxs):
                 h, w = images[i].shape[:2]
                 results[i] = block[bi, :h, :w].astype(np.float32)
@@ -484,11 +489,6 @@ class DeviceTiledInference(Node):
         with closing_if_closable(stream):
             for obj in stream:
                 img = np.asarray(self.prepare_input(obj, "image"))
-                if img.dtype != np.uint8:
-                    raise ValueError(
-                        "DeviceTiledInference requires uint8 images; "
-                        f"got {img.dtype}. Disable tiling.device_blend."
-                    )
                 chunk_objs.append(obj)
                 chunk_imgs.append(img)
                 if len(chunk_objs) >= self.chunk_size:

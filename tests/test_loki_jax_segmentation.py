@@ -357,3 +357,61 @@ def test_two_frame_chains_with_different_prop_configs():
     # Per-chain key lists are isolated: clearing one must not affect the other.
     keys_a.clear()
     assert keys_b
+
+
+def test_device_crops_max_regions_overflow_matches_host(tmp_path, model_dir):
+    """Frames with more regions than max_regions keep ALL objects on the
+    device-crops path via the host overflow fallback (round-3 review: the
+    crops mode used to silently drop labels >= max_regions while the
+    host path kept them through FindRegions' host-props fallback)."""
+    make_loki_sample(
+        str(tmp_path / "data"), n_frames=2, objects_per_frame=6,
+        frame_shape=(180, 230),
+    )
+
+    def run(device_blend, out):
+        Runner._configure_and_run(
+            {
+                "input": {"path": str(tmp_path / "data")},
+                "segmentation": {
+                    "jax": {
+                        "model_fn": model_dir,
+                        "dtype": "float32",
+                        "batch_size": 4,
+                        "tile_size": 128,
+                        "tile_stride": 96,
+                        "device_blend": device_blend,
+                        "postprocess": {
+                            "closing_radius": 2,
+                            "min_area": 20,
+                            "max_regions": 4,
+                        },
+                        "padding": 10,
+                    }
+                },
+                "postprocess": {},
+                "output": {"target_dir": str(tmp_path / out)},
+            }
+        )
+        return read_tsv(
+            Archive(os.path.join(str(tmp_path / out), "LOKI_PS122-1_7.zip"))
+            / "ecotaxa_export.tsv"
+        )
+
+    df_dev = run(True, "out_dev")
+    df_host = run(False, "out_host")
+    # Both paths must keep every segmented region (blobs can merge when
+    # they overlap, so compare the two paths, not the raw object count).
+    assert len(df_dev) == len(df_host)
+    assert len(df_dev) > 4  # the overflow fallback actually engaged
+    key = ["object_posx", "object_posy"]
+    df_dev = df_dev.sort_values(key).reset_index(drop=True)
+    df_host = df_host.sort_values(key).reset_index(drop=True)
+    for col in ["object_area", "object_width", "object_height", "object_mean"]:
+        np.testing.assert_allclose(
+            df_dev[col].to_numpy(np.float64),
+            df_host[col].to_numpy(np.float64),
+            rtol=1e-3,
+            atol=0.51,
+            err_msg=col,
+        )

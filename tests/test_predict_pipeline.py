@@ -418,3 +418,45 @@ def test_device_tiled_inference_matches_host_blend(tmp_path, rng):
             rtol=1e-5,
             err_msg=col,
         )
+
+
+def test_device_tiled_inference_uint16_inputs(tmp_path, rng):
+    """Non-uint8 inputs ride the device tiling path too (round-3 review:
+    the node used to hard-reject them while device_blend defaults True).
+    u16 = u8 * 257 scales to identical [0, 1] floats, so predictions must
+    match the u8 run exactly."""
+    from maze_image_processing_pipeline_tpu.models import (
+        DeviceTiledInference,
+        load_model,
+        save_model,
+    )
+
+    crops8 = [draw_blob(rng, shape=s, r=10) for s in [(64, 64), (100, 90)]]
+    crops16 = [c.astype(np.uint16) * 257 for c in crops8]
+
+    model_dir = str(tmp_path / "unet16")
+    module = UNet(out_channels=2, base_features=4, depth=1, dtype=jnp.float32)
+    params = module.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
+    save_model(
+        model_dir, module, params,
+        outputs={"pred": {"channel_names": ["a", "b"]}},
+    )
+    model = load_model(model_dir, dtype="float32")
+
+    def run(crops):
+        out = []
+        with Pipeline() as pl:
+            img = Unpack(crops)
+            pred = DeviceTiledInference(
+                model, img, tile_size=64, tile_stride=48, batch_size=2
+            )
+            Call(lambda p: out.append(np.asarray(p)), pred)
+        pl.run()
+        return out
+
+    p8 = run(crops8)
+    p16 = run(crops16)
+    assert len(p8) == len(p16) == len(crops8)
+    for a, b in zip(p8, p16):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
