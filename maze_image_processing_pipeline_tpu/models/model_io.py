@@ -27,7 +27,7 @@ from __future__ import annotations
 import json
 import os
 from dataclasses import dataclass, field
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Callable, Dict, Mapping, Optional
 
 import flax.serialization
 import jax
@@ -169,31 +169,72 @@ def load_model(model_fn: str, dtype: Optional[str] = None) -> LoadedModel:
 def import_torch_state_dict(state_dict: Dict, flax_params: Dict) -> Dict:
     """Map a torch state dict onto a flax param pytree of the same topology.
 
-    Conv weights transpose OIHW → HWIO; linear weights transpose (out, in) →
-    (in, out). Keys are matched in order of traversal, so the torch module
-    must mirror the flax architecture layer-for-layer.
+    Modules are matched in order: the nested flax params dict is walked in
+    INSERTION order (= flax module call order; ``tree_flatten_with_path``
+    would sort alphabetically, putting ``bias`` before ``kernel`` and
+    ``ConvBlock_10`` before ``ConvBlock_2``), and the torch state dict is
+    grouped by submodule prefix in its own order — so the torch module must
+    mirror the flax architecture layer-for-layer *in definition order*.
+    Within each module, params match by name: torch ``weight`` → flax
+    ``kernel`` (conv OIHW → HWIO, linear (out, in) → (in, out)) or
+    ``scale`` (norm layers), ``bias`` → ``bias``.
     """
-    flat = jax.tree_util.tree_flatten_with_path(flax_params)[0]
-    torch_items = [
-        (k, v) for k, v in state_dict.items() if "num_batches_tracked" not in k
-    ]
-    if len(flat) != len(torch_items):
+
+    def walk(d, path=()):
+        for k, v in d.items():
+            if isinstance(v, Mapping) or hasattr(v, "items"):
+                yield from walk(v, path + (k,))
+            else:
+                yield path + (k,), v
+
+    flax_modules: Dict[tuple, Dict[str, np.ndarray]] = {}
+    for path, leaf in walk(flax_params):
+        flax_modules.setdefault(path[:-1], {})[path[-1]] = leaf
+
+    torch_modules: Dict[str, Dict[str, np.ndarray]] = {}
+    for k, v in state_dict.items():
+        if "num_batches_tracked" in k:
+            continue
+        prefix, _, name = k.rpartition(".")
+        torch_modules.setdefault(prefix, {})[name] = np.asarray(v)
+
+    if len(flax_modules) != len(torch_modules):
         raise ValueError(
-            f"Parameter count mismatch: flax {len(flat)} vs torch {len(torch_items)}"
+            f"Module count mismatch: flax {len(flax_modules)} "
+            f"({list(flax_modules)}) vs torch {len(torch_modules)} "
+            f"({list(torch_modules)})"
         )
 
-    new_flat = []
-    for (path, target), (tk, tv) in zip(flat, torch_items):
-        arr = np.asarray(tv)
-        if arr.ndim == 4:  # conv OIHW -> HWIO
-            arr = arr.transpose(2, 3, 1, 0)
-        elif arr.ndim == 2:  # linear (out,in) -> (in,out)
-            arr = arr.T
-        if arr.shape != target.shape:
-            raise ValueError(
-                f"Shape mismatch at {path} / {tk}: {arr.shape} vs {target.shape}"
-            )
-        new_flat.append(arr.astype(np.asarray(target).dtype))
+    out: Dict = {}  # fresh nested dicts: works for FrozenDict inputs too
 
-    treedef = jax.tree_util.tree_structure(flax_params)
-    return jax.tree_util.tree_unflatten(treedef, new_flat)
+    def assign(d, path, value):
+        for k in path[:-1]:
+            d = d.setdefault(k, {})
+        d[path[-1]] = value
+
+    for (fpath, fleaves), (tname, tleaves) in zip(
+        flax_modules.items(), torch_modules.items()
+    ):
+        for leaf_name, target in fleaves.items():
+            if leaf_name in ("kernel", "scale") and "weight" in tleaves:
+                arr = tleaves["weight"]
+                if leaf_name == "kernel" and arr.ndim == 4:
+                    arr = arr.transpose(2, 3, 1, 0)  # OIHW -> HWIO
+                elif leaf_name == "kernel" and arr.ndim == 2:
+                    arr = arr.T  # (out, in) -> (in, out)
+            elif leaf_name in tleaves:
+                arr = tleaves[leaf_name]
+            else:
+                raise ValueError(
+                    f"No torch param for {fpath + (leaf_name,)} in "
+                    f"{tname} ({sorted(tleaves)})"
+                )
+            target = np.asarray(target)
+            if arr.shape != target.shape:
+                raise ValueError(
+                    f"Shape mismatch at {fpath + (leaf_name,)} / {tname}: "
+                    f"{arr.shape} vs {target.shape}"
+                )
+            assign(out, fpath + (leaf_name,), arr.astype(target.dtype))
+
+    return out

@@ -260,3 +260,104 @@ def test_pallas_groupnorm_backward_kernel_matches_reference():
         np.testing.assert_allclose(np.asarray(dx), np.asarray(rx), rtol=2e-4, atol=2e-4)
         np.testing.assert_allclose(np.asarray(dscale), np.asarray(rs), rtol=2e-4, atol=2e-4)
         np.testing.assert_allclose(np.asarray(dbias), np.asarray(rb), rtol=2e-4, atol=2e-4)
+
+
+def test_import_torch_state_dict_unet_parity():
+    """A torch U-Net mirroring the flax architecture layer-for-layer (in
+    call order) imports to numerically-equivalent flax params. Round-3
+    fix: the old importer zipped torch insertion order against flax's
+    ALPHABETICAL tree-flatten order (bias < kernel, ConvBlock_10 <
+    ConvBlock_2), so it failed on any real model; it now matches modules
+    in insertion order and params by name (weight->kernel/scale)."""
+    torch = pytest.importorskip("torch")
+    import torch.nn as nn
+
+    from maze_image_processing_pipeline_tpu.models import UNet
+    from maze_image_processing_pipeline_tpu.models.model_io import (
+        import_torch_state_dict,
+    )
+
+    def block(cin, cout):
+        return nn.Sequential(
+            nn.Conv2d(cin, cout, 3, padding=1),
+            nn.GroupNorm(min(8, cout), cout),
+            nn.ReLU(),
+            nn.Conv2d(cout, cout, 3, padding=1),
+            nn.GroupNorm(min(8, cout), cout),
+            nn.ReLU(),
+        )
+
+    class TorchUNet(nn.Module):
+        # Submodules DEFINED in the flax call order: encoder blocks,
+        # bottleneck, then per decoder level (up-conv, block), head.
+        def __init__(self, cin=3, base=8, depth=2, out=2):
+            super().__init__()
+            self.depth = depth
+            mods, ch = [], cin
+            for i in range(depth):
+                mods.append(block(ch, base * 2**i))
+                ch = base * 2**i
+            mods.append(block(ch, base * 2**depth))
+            ch = base * 2**depth
+            for i in reversed(range(depth)):
+                mods.append(nn.Conv2d(ch, base * 2**i, 2, padding="same"))
+                mods.append(block(base * 2**i * 2, base * 2**i))
+                ch = base * 2**i
+            mods.append(nn.Conv2d(ch, out, 1))
+            self.mods = nn.ModuleList(mods)
+            self.pool = nn.MaxPool2d(2)
+            self.up = nn.Upsample(scale_factor=2, mode="nearest")
+
+        def forward(self, x):
+            i, skips = 0, []
+            for _ in range(self.depth):
+                x = self.mods[i](x)
+                i += 1
+                skips.append(x)
+                x = self.pool(x)
+            x = self.mods[i](x)
+            i += 1
+            for d in reversed(range(self.depth)):
+                x = self.mods[i](self.up(x))
+                i += 1
+                x = self.mods[i](torch.cat([skips[d], x], dim=1))
+                i += 1
+            return self.mods[i](x)
+
+    tnet = TorchUNet().eval()
+    fnet = UNet(out_channels=2, base_features=8, depth=2, dtype=jnp.float32)
+    fparams = fnet.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
+    imported = import_torch_state_dict(tnet.state_dict(), fparams)
+
+    x = np.random.default_rng(0).random((2, 64, 64, 3)).astype(np.float32)
+    yt = (
+        tnet(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+        .detach()
+        .numpy()
+        .transpose(0, 2, 3, 1)
+    )
+    yf = np.asarray(fnet.apply(imported, jnp.asarray(x)))
+    np.testing.assert_allclose(yt, yf, rtol=1e-3, atol=1e-3)
+
+
+def test_import_torch_state_dict_mismatch_errors():
+    """Clear errors on module-count and shape mismatches."""
+    torch = pytest.importorskip("torch")
+    import torch.nn as nn
+
+    from maze_image_processing_pipeline_tpu.models.model_io import (
+        import_torch_state_dict,
+    )
+
+    import flax.linen as fnn
+
+    conv = fnn.Conv(4, (3, 3))
+    fparams = conv.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)))
+
+    with pytest.raises(ValueError, match="Module count"):
+        import_torch_state_dict(
+            nn.Sequential(nn.Conv2d(3, 4, 3), nn.Conv2d(4, 4, 3)).state_dict(),
+            fparams,
+        )
+    with pytest.raises(ValueError, match="Shape mismatch"):
+        import_torch_state_dict(nn.Conv2d(3, 8, 3).state_dict(), fparams)
