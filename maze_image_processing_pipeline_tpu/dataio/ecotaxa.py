@@ -219,9 +219,14 @@ class EcotaxaWriter(Node):
     @staticmethod
     def _json_safe(value):
         if isinstance(value, np.generic):
-            return value.item()
+            value = value.item()
         if isinstance(value, np.ndarray):
             return value.tolist()
+        if isinstance(value, bool):
+            # EcoTaxa has no boolean type: the column types as [f], so the
+            # cell must be 0/1, not "True"/"False" (which would fail the
+            # whole archive's import on the float parse).
+            return int(value)
         return value
 
     def transform_stream(self, stream: Stream) -> Stream:

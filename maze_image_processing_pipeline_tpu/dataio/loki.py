@@ -84,7 +84,10 @@ def _read_kv_text(text: str) -> Dict[str, object]:
     """Parse KEY:VALUE / KEY=VALUE / KEY;VALUE lines (and ;-joined pairs)."""
     out: Dict[str, object] = {}
     for line in text.splitlines():
-        line = line.strip()
+        # Strip trailing pair separators first: a single ";"-terminated
+        # pair ("TEMP=5.3;") must not keep the ";" in its value, which
+        # would silently store the float as a string.
+        line = line.strip().rstrip(";").strip()
         if not line or line.startswith("#"):
             continue
         # Multiple pairs on one line (old .dat style): A=1;B=2

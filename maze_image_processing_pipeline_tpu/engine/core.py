@@ -246,12 +246,15 @@ class Node:
 
     def transform_stream(self, stream: Stream) -> Stream:
         """Default: map :meth:`transform` over declared inputs per object."""
+        # Resolve the input-name list once: the default _input_names runs
+        # inspect.signature, which is far too slow per stream object.
+        input_names = tuple(self._input_names())
         with closing_if_closable(stream):
             for obj in stream:
                 try:
                     inputs = {
                         name: self._resolve(obj, getattr(self, name))
-                        for name in self._input_names()
+                        for name in input_names
                     }
                     result = self.transform(**inputs)
                 except Exception as exc:

@@ -24,6 +24,7 @@ from ..ops.zooprocess import zooprocess_features
 from .core import (
     Call,
     Node,
+    _annotate,
     Output,
     RawOrVariable,
     ReturnOutputs,
@@ -569,7 +570,10 @@ class FilterEval(Node):
                     try:
                         keep = eval(self._compiled, {"__builtins__": {}}, dict(data))
                     except Exception as exc:
-                        raise type(exc)(*exc.args, f"FilterEval({self.expression!r})")
+                        # add_note, not re-construction: many exception
+                        # types cannot be rebuilt from (*args, msg).
+                        _annotate(exc, f" [FilterEval({self.expression!r})]")
+                        raise
                     if not keep:
                         continue
                     obj.n_remaining_hint = incoming.emit()

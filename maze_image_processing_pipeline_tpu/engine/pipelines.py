@@ -132,22 +132,41 @@ class DataParallelPipeline(Pipeline):
         out_q: "queue.Queue" = queue.Queue(maxsize=self.queue_size)
         errors: List[BaseException] = []
         n_workers = self.n_workers
+        stop = threading.Event()
+
+        def put(q, item) -> bool:
+            # Shutdown-aware bounded put (same defect class as
+            # StreamBuffer): without it, early consumer termination leaves
+            # feeder/workers blocked on full queues forever, leaking the
+            # threads and skipping upstream finalizers.
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def feeder() -> None:
             try:
                 with closing_if_closable(stream):
                     for seq, obj in enumerate(stream):
-                        in_q.put((seq, obj))
+                        if not put(in_q, (seq, obj)):
+                            return
             except BaseException as exc:  # noqa: BLE001
                 errors.append(exc)
             finally:
                 for _ in range(n_workers):
-                    in_q.put(self._SENTINEL)
+                    if not put(in_q, self._SENTINEL):
+                        break
 
         def worker() -> None:
             try:
-                while True:
-                    item = in_q.get()
+                while not stop.is_set():
+                    try:
+                        item = in_q.get(timeout=0.1)
+                    except queue.Empty:
+                        continue
                     if item is self._SENTINEL:
                         return
                     seq, obj = item
@@ -156,9 +175,10 @@ class DataParallelPipeline(Pipeline):
                     except BaseException as exc:  # noqa: BLE001
                         errors.append(exc)
                         results = []
-                    out_q.put((seq, results))
+                    if not put(out_q, (seq, results)):
+                        return
             finally:
-                out_q.put(self._SENTINEL)
+                put(out_q, self._SENTINEL)
 
         threads = [threading.Thread(target=feeder, daemon=True, name="dp-feeder")]
         threads += [
@@ -190,6 +210,7 @@ class DataParallelPipeline(Pipeline):
             if errors:
                 raise errors[0]
         finally:
+            stop.set()
             for t in threads:
                 t.join(timeout=5)
 
@@ -227,6 +248,16 @@ class MergeNodesPipeline(Pipeline):
                 yield from results
 
 
+try:  # ExceptionGroup is a 3.11+ builtin; pyproject declares >=3.10.
+    _ExceptionGroup = ExceptionGroup
+except NameError:  # pragma: no cover - Python 3.10
+
+    class _ExceptionGroup(Exception):
+        def __init__(self, message, exceptions):
+            super().__init__(message)
+            self.exceptions = tuple(exceptions)
+
+
 class AggregateErrorsPipeline(Pipeline):
     """Collect per-object errors; raise them together at end of stream."""
 
@@ -248,6 +279,6 @@ class AggregateErrorsPipeline(Pipeline):
                 yield from results
 
         if errors:
-            raise ExceptionGroup(
+            raise _ExceptionGroup(
                 f"{len(errors)} object(s) failed in {type(self).__name__}", errors
             )

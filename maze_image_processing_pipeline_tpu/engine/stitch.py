@@ -52,13 +52,17 @@ class Stitch(Node):
     def transform_stream(self, stream: Stream) -> Stream:
         est = StreamEstimator()
         with closing_if_closable(stream):
-            for _key, substream in stream_groupby(
-                stream, self.groupby if not callable(self.groupby) else self.groupby
-            ):
+            for _key, substream in stream_groupby(stream, self.groupby):
                 members = []
+                incoming = None
                 for obj in substream:
                     image = self.prepare_input(obj, "image")
                     oy, ox = self.prepare_input(obj, "offset")
+                    # Consume once per member (not once per group): the
+                    # estimator's emit/consume rate must reflect the
+                    # crops-per-frame contraction, or downstream
+                    # ETA/totals inflate by that factor.
+                    incoming = est.consume(obj.n_remaining_hint)
                     members.append((obj, np.asarray(image), int(oy), int(ox)))
 
                 if not members:
@@ -77,8 +81,7 @@ class Stitch(Node):
                 stitched.n_regions = len(members)
 
                 first = members[0][0]
-                with est.consume(first.n_remaining_hint) as incoming:
-                    out = first.copy()
-                    out[self.output_vars[0]] = stitched
-                    out.n_remaining_hint = incoming.emit()
-                    yield out
+                out = first.copy()
+                out[self.output_vars[0]] = stitched
+                out.n_remaining_hint = incoming.emit()
+                yield out

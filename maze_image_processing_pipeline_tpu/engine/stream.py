@@ -157,12 +157,17 @@ class Slice(Node):
 
     def transform_stream(self, stream: Stream) -> Stream:
         with closing_if_closable(stream):
+            if self.n <= 0:
+                return
             for i, obj in enumerate(stream):
-                if i >= self.n:
-                    break
                 if obj.n_remaining_hint is not None:
                     obj.n_remaining_hint = min(obj.n_remaining_hint, self.n - i)
                 yield obj
+                # Stop right after the nth object: checking at the loop top
+                # would pull (and fully compute) one extra upstream object
+                # only to discard it.
+                if i + 1 >= self.n:
+                    break
 
 
 class StreamBuffer(Node):
@@ -184,16 +189,32 @@ class StreamBuffer(Node):
     def transform_stream(self, stream: Stream) -> Stream:
         q: "queue.Queue" = queue.Queue(maxsize=self.maxsize)
         error: list = []
+        stop = threading.Event()
+
+        def put(item) -> bool:
+            # Bounded-blocking put that notices consumer shutdown: a plain
+            # q.put() would block forever when the consumer abandons the
+            # generator early (Slice, downstream error), leaking the thread
+            # and skipping every upstream finalizer (writer close, archive
+            # finalize).
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker() -> None:
             try:
                 with closing_if_closable(stream):
                     for obj in stream:
-                        q.put(obj)
+                        if not put(obj):
+                            return  # consumer gone; context closes upstream
             except BaseException as exc:  # noqa: BLE001 - forwarded to consumer
                 error.append(exc)
             finally:
-                q.put(self._SENTINEL)
+                put(self._SENTINEL)
 
         thread = threading.Thread(target=worker, daemon=True, name="StreamBuffer")
         thread.start()
@@ -207,6 +228,7 @@ class StreamBuffer(Node):
             if error:
                 raise error[0]
         finally:
+            stop.set()
             thread.join(timeout=5)
 
 

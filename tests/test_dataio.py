@@ -294,3 +294,40 @@ class TestTelemetry:
         meta = {"object_date": "20220103", "object_time": "235959"}
         merged = tele.merge_telemetry(meta)
         assert "object_pressure" not in merged
+
+
+class TestRound3Fixes:
+    def test_writer_bool_meta_is_numeric(self, tmp_path):
+        """Booleans type as [f] so the cells must be 0/1, not
+        'True'/'False' — EcoTaxa's float parse would reject the whole
+        archive import (round-3 hunt)."""
+        archive_fn = str(tmp_path / "b.zip")
+        with Pipeline() as p:
+            i = Unpack([0, 1])
+            meta = Call(
+                lambda k: {"object_id": f"o{k}", "object_flag": bool(k)}, i
+            )
+            EcotaxaWriter(archive_fn, [], meta)
+        p.run()
+
+        with zipfile.ZipFile(archive_fn) as zf:
+            lines = zf.read("ecotaxa_export.tsv").decode().splitlines()
+        header, types, *rows = lines
+        col = header.split("\t").index("object_flag")
+        assert types.split("\t")[col] == "[f]"
+        assert [r.split("\t")[col] for r in rows] == ["0", "1"]
+
+        df = read_tsv(Archive(archive_fn) / "ecotaxa_export.tsv")
+        assert df["object_flag"].tolist() == [0, 1]
+
+    def test_read_dat_single_pair_trailing_semicolon(self, tmp_path):
+        """'TEMP=5.3;' (one ';'-terminated pair per line) must parse the
+        float, not keep the ';' in a string value (round-3 hunt)."""
+        from maze_image_processing_pipeline_tpu.dataio.loki import read_dat
+
+        fn = tmp_path / "t.dat"
+        fn.write_text("TEMP=5.3;\nPRESS=10.5;\nFLAG=ok;\n")
+        data = read_dat(str(fn))
+        assert data["TEMP"] == 5.3
+        assert data["PRESS"] == 10.5
+        assert data["FLAG"] == "ok"

@@ -336,3 +336,94 @@ def test_stitch():
     s2 = objs[1][stitched]
     assert s2.shape == (4, 4)
     assert s2.n_regions == 1
+
+
+def test_stream_buffer_early_close_unblocks_producer():
+    """Abandoning the consumer mid-stream must stop the worker thread and
+    run upstream finalizers (writer close/archive finalize live there) —
+    round-3 hunt: the worker used to block forever in q.put on the full
+    bounded queue."""
+    import threading
+    import time
+
+    from maze_image_processing_pipeline_tpu.engine.core import StreamObject
+
+    upstream_closed = []
+
+    def upstream():
+        try:
+            for i in range(1000):
+                yield StreamObject({})
+        finally:
+            upstream_closed.append(True)
+
+    buf = StreamBuffer(2)
+    gen = buf.transform_stream(upstream())
+    next(gen)
+    next(gen)
+    gen.close()  # early consumer termination
+
+    deadline = time.time() + 3
+    while not upstream_closed and time.time() < deadline:
+        time.sleep(0.05)
+    assert upstream_closed, "upstream finally never ran"
+    deadline = time.time() + 3
+    while time.time() < deadline and any(
+        t.name == "StreamBuffer" and t.is_alive() for t in threading.enumerate()
+    ):
+        time.sleep(0.05)
+    assert not any(
+        t.name == "StreamBuffer" and t.is_alive() for t in threading.enumerate()
+    ), "StreamBuffer worker thread leaked"
+
+
+def test_data_parallel_early_close_unblocks_threads():
+    """Same defect class as StreamBuffer for DataParallelPipeline's
+    feeder/worker threads."""
+    import threading
+    import time
+
+    from maze_image_processing_pipeline_tpu.engine import DataParallelPipeline
+    from maze_image_processing_pipeline_tpu.engine.core import StreamObject
+
+    upstream_closed = []
+
+    def upstream():
+        try:
+            for i in range(1000):
+                yield StreamObject({})
+        finally:
+            upstream_closed.append(True)
+
+    with Pipeline() as p:
+        dp = DataParallelPipeline(executor=2, queue_size=2)
+
+    gen = dp.transform_stream(upstream())
+    next(gen)
+    gen.close()
+
+    deadline = time.time() + 5
+    while time.time() < deadline and (
+        not upstream_closed
+        or any(t.name.startswith("dp-") and t.is_alive() for t in threading.enumerate())
+    ):
+        time.sleep(0.05)
+    assert upstream_closed, "upstream finally never ran"
+    assert not any(
+        t.name.startswith("dp-") and t.is_alive() for t in threading.enumerate()
+    ), "dp threads leaked"
+
+
+def test_slice_does_not_overpull_upstream():
+    """Slice(n) must not pull (and fully compute) object n+1 just to
+    discard it (round-3 hunt)."""
+    pulled = []
+
+    with Pipeline() as p:
+        item = Unpack(range(100))
+        Call(lambda x: pulled.append(x), item)
+        Slice(5)
+
+    objs = run_collect(p)
+    assert len(objs) == 5
+    assert len(pulled) == 5  # not 6
