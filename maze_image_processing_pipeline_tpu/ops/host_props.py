@@ -58,9 +58,13 @@ def host_region_props(
         for key in (
             "area min_row min_col max_row max_col centroid_row centroid_col "
             "mu20 mu02 mu11 axis_major_length axis_minor_length orientation "
-            "eccentricity perimeter feret_diameter_max"
+            "eccentricity perimeter"
         ).split():
             put(key, 0.0)
+        if n_feret_angles:
+            # Keep the key set identical to the non-empty branch, which
+            # only emits feret when n_feret_angles is nonzero.
+            put("feret_diameter_max", 0.0)
         if intensity is not None:
             for key in (
                 "intensity_sum intensity_mean intensity_std intensity_min "
@@ -118,7 +122,10 @@ def host_region_props(
         put("intensity_std", std)
         put("intensity_min", vals.min())
         put("intensity_max", vals.max())
-        if std > 1e-12:
+        # Same guard threshold as the device twins (regionprops_fused,
+        # pallas_props): near-constant regions must get identical 0.0
+        # skew/kurtosis on whichever path measures them.
+        if std > 1e-3:
             d = vals - mean
             put("intensity_skew", (d**3).mean() / std**3)
             put("intensity_kurtosis", (d**4).mean() / std**4 - 3.0)

@@ -43,15 +43,20 @@ def gray2rgb(image: jnp.ndarray) -> jnp.ndarray:
     return jnp.broadcast_to(image[..., None], image.shape + (3,))
 
 
-@functools.partial(jax.jit, static_argnames=("size",))
-def center_crop_or_pad(image: jnp.ndarray, size: int) -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnames=("size", "channels_last"))
+def center_crop_or_pad(
+    image: jnp.ndarray, size: int, *, channels_last: bool = True
+) -> jnp.ndarray:
     """Extract the center ``size``×``size`` window, zero-padding as needed.
 
-    Works on (..., H, W, C) or (..., H, W); matches the torchvision
-    ``center_crop`` contract used at ``predict/pipeline.py:634-637``.
+    Matches the torchvision ``center_crop`` contract used at
+    ``predict/pipeline.py:634-637``. The channel layout is EXPLICIT, not
+    guessed: ``channels_last=True`` treats a ≥3-D input as (..., H, W, C);
+    ``False`` as (..., H, W) — a ``(N, H, W)`` grayscale batch with the
+    old ndim-based heuristic would have had its batch axis cropped.
+    2-D inputs are always (H, W).
     """
-    # Treat axes (-3, -2) as spatial when channels exist, else (-2, -1).
-    if image.ndim >= 3:
+    if image.ndim >= 3 and channels_last:
         h_ax, w_ax = image.ndim - 3, image.ndim - 2
     else:
         h_ax, w_ax = image.ndim - 2, image.ndim - 1

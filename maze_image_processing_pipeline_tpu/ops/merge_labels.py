@@ -63,6 +63,10 @@ def merge_labels(
     else:
         index = [int(v) for v in index]
 
+    if labels_out is not None and labels_out is not labels:
+        # The early return below must hand back the input labels, not an
+        # untouched (possibly uninitialized) caller buffer.
+        np.copyto(labels_out, labels)
     if return_merge_distances:
         empty_result = (labels if labels_out is None else labels_out, [])
     else:

@@ -57,18 +57,23 @@ def measure_largest_component(
             background component counts.
 
     Returns:
-        (props, raw_area, extremes): ``props`` maps
+        (props, raw_area, extremes, overflow): ``props`` maps
         area / axis_major_length / centroid_row / centroid_col /
         orientation to (N,) arrays (all zero when the mask is empty);
         ``raw_area`` is the pre-fill pixel count (N,); ``extremes`` is
         (N, H, 3) float32 ``[rowminx, rowmaxx, row_present]`` of the
-        largest component for host-side convex-hull work.
+        largest component for host-side convex-hull work; ``overflow`` is
+        a (N,) bool — True when the mask had more components than the
+        one-hot bounds can measure (the true largest component may then
+        be invisible to the argmax, or holes may stay unfilled), so the
+        caller must fall back to host measurement for that mask.
     """
     masks = masks.astype(bool)
     raw_area = jnp.sum(masks, axis=(1, 2)).astype(jnp.int32)
 
+    n_bg = None
     if fill_holes:
-        bg_lab, _ = label(~masks, connectivity=1, pallas=False)
+        bg_lab, n_bg = label(~masks, connectivity=1, pallas=False)
         N, H, W = masks.shape
         border = np.zeros((H, W), bool)
         border[0, :] = border[-1, :] = True
@@ -119,7 +124,13 @@ def measure_largest_component(
         ],
         axis=-1,
     )
-    return out, raw_area, extremes
+    # Overflow: label ids beyond the one-hot bounds are unmeasured, so the
+    # argmax can silently pick a smaller component (fg), or holes can stay
+    # unfilled (bg). Signal per mask for a host fallback.
+    overflow = n > num_segments - 1
+    if n_bg is not None:
+        overflow = overflow | (n_bg > n_bg_segments - 1)
+    return out, raw_area, extremes, overflow
 
 
 def convex_area_from_extremes(extremes: np.ndarray, shape) -> float:

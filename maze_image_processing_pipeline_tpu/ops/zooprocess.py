@@ -167,4 +167,5 @@ def zooprocess_features(
     return features
 
 
-N_FEATURES = 38
+# Number of features zooprocess_features returns (asserted by tests).
+N_FEATURES = 40

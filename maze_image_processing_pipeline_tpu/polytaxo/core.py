@@ -322,13 +322,23 @@ class PolyTaxonomy:
     def __init__(self, root: PrimaryNode) -> None:
         self.root = root
         self._index_to_node: Dict[int, _RealNode] = {}
+
+        def register(n) -> None:
+            if n.index is None:
+                return
+            other = self._index_to_node.get(n.index)
+            if other is not None and other is not n:
+                raise ValueError(
+                    f"Duplicate classifier index {n.index}: "
+                    f"{other.name!r} and {n.name!r}"
+                )
+            self._index_to_node[n.index] = n
+
         for node in self.iter_primary():
-            if node.index is not None:
-                self._index_to_node[node.index] = node
+            register(node)
             for tag_root in node.tags:
                 for tag in _iter_tag_tree(tag_root):
-                    if tag.index is not None:
-                        self._index_to_node[tag.index] = tag
+                    register(tag)
 
     # -- construction ------------------------------------------------------
 
@@ -337,6 +347,8 @@ class PolyTaxonomy:
         root = PrimaryNode("", parent=None)
         deferred_virtuals: List[Tuple[PrimaryNode, str, str]] = []
 
+        _TAG_KEYS = ("_index", "_alias", "_meta", "_children")
+
         def build_tags(spec: Mapping, parent) -> List[TagNode]:
             tags = []
             for name, value in spec.items():
@@ -344,6 +356,15 @@ class PolyTaxonomy:
                     tag = TagNode(name, parent=parent, index=value)
                 elif isinstance(value, Mapping) or value is None:
                     value = value or {}
+                    unknown = [
+                        k
+                        for k in value
+                        if k.startswith("_") and k not in _TAG_KEYS
+                    ]
+                    if unknown:
+                        raise ValueError(
+                            f"Unknown tag key(s) for {name!r}: {unknown}"
+                        )
                     tag = TagNode(
                         name,
                         parent=parent,
@@ -351,7 +372,14 @@ class PolyTaxonomy:
                         alias=value.get("_alias", ()),
                         meta=value.get("_meta", {}),
                     )
-                    tag.children = build_tags(value.get("_children", {}), tag)
+                    # Child tags nest either under _children or as plain
+                    # keys (the same style primary children use); plain
+                    # keys used to be silently DROPPED.
+                    child_spec = dict(value.get("_children") or {})
+                    for k, v in value.items():
+                        if not k.startswith("_"):
+                            child_spec[k] = v
+                    tag.children = build_tags(child_spec, tag)
                 else:
                     raise ValueError(f"Bad tag spec for {name!r}: {value!r}")
                 tags.append(tag)

@@ -158,13 +158,29 @@ class BatchedSegmentMeasure(Node):
                 fill = self.fill_holes is True or (
                     self.fill_holes and channel_name in self.fill_holes
                 )
-                props, raw, extremes = measure_largest_component(
+                props, raw, extremes, overflow = measure_largest_component(
                     jnp.asarray(batch), fill_holes=bool(fill)
                 )
                 props = {k: np.asarray(v) for k, v in props.items()}
                 raw = np.asarray(raw)
                 extremes = np.asarray(extremes)
+                overflow = np.asarray(overflow)
                 for j, i in enumerate(idxs):
+                    if overflow[j]:
+                        # More components than the device one-hot bounds
+                        # measure (noisy probability maps): the argmax may
+                        # have picked a smaller component. Re-measure this
+                        # crop's channel through the host path for parity.
+                        host_meta, _ = measure_segments(
+                            {},
+                            None,
+                            probs[i][..., c : c + 1],
+                            [channel_name],
+                            False,
+                            fill_holes=self.fill_holes,
+                        )
+                        metas[i].update(host_meta)
+                        continue
                     m = metas[i]
                     m[f"object_{channel_name}_raw_area"] = int(raw[j])
                     area = float(props["area"][j])

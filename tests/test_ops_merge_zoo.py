@@ -1,3 +1,4 @@
+import jax.numpy as jnp
 import numpy as np
 import pytest
 import scipy.ndimage as ndi
@@ -156,3 +157,75 @@ class TestZooProcessFeatures:
         props2 = rp.regionprops(lab2, num_segments=4)
         f2 = zooprocess_features(props2, 1)
         assert abs(f2["angle"] - 90) < 2.0
+
+
+class TestRound3HuntFixes:
+    def test_merge_labels_out_buffer_single_label(self):
+        """With < 2 labels and a caller-provided labels_out, the input must
+        be copied into the buffer (it used to come back uninitialized)."""
+        from maze_image_processing_pipeline_tpu.ops.merge_labels import merge_labels
+
+        labels = np.zeros((16, 16), np.int32)
+        labels[4:8, 4:8] = 1
+        out_buf = np.full_like(labels, -99)
+        res = merge_labels(labels, labels_out=out_buf)
+        assert res is out_buf
+        np.testing.assert_array_equal(res, labels)
+
+    def test_n_features_matches_actual_count(self):
+        from maze_image_processing_pipeline_tpu.ops.zooprocess import (
+            N_FEATURES,
+            zooprocess_features,
+        )
+        from maze_image_processing_pipeline_tpu.ops.host_props import (
+            host_region_props,
+        )
+
+        mask = np.zeros((20, 20), bool)
+        mask[5:15, 5:15] = True
+        inten = (mask * 200).astype(np.uint8)
+        props = dict(host_region_props(mask, inten))
+        hist = np.zeros((2, 256))
+        hist[1] = np.bincount(inten[mask].ravel(), minlength=256)
+        props["histogram"] = hist
+        feats = zooprocess_features(props, 1)
+        assert len(feats) == N_FEATURES
+
+    def test_host_device_skew_guard_parity(self):
+        """Near-constant regions (std in (1e-12, 1e-3]) must get identical
+        0.0 skew/kurtosis from host_region_props and the fused device
+        measurement (they used different guard thresholds)."""
+        from maze_image_processing_pipeline_tpu.ops.host_props import (
+            host_region_props,
+        )
+        from maze_image_processing_pipeline_tpu.ops.regionprops_fused import (
+            regionprops_fused,
+        )
+
+        mask = np.zeros((16, 16), bool)
+        mask[2:14, 2:14] = True
+        inten = np.full((16, 16), 100, np.uint8)  # constant region
+        h = {k: v[1] for k, v in host_region_props(mask, inten).items()}
+        d = regionprops_fused(
+            jnp.asarray(mask.astype(np.int32)),
+            jnp.asarray(inten.astype(np.float32)),
+            num_segments=4,
+        )
+        assert h["intensity_skew"] == 0.0
+        assert float(d["intensity_skew"][1]) == 0.0
+        assert h["intensity_kurtosis"] == 0.0
+        assert float(d["intensity_kurtosis"][1]) == 0.0
+
+    def test_center_crop_or_pad_explicit_layout(self):
+        from maze_image_processing_pipeline_tpu.ops.image import (
+            center_crop_or_pad,
+        )
+
+        nhw = jnp.zeros((2, 6, 8))
+        out = center_crop_or_pad(nhw, 4, channels_last=False)
+        assert out.shape == (2, 4, 4)
+        hwc = jnp.zeros((6, 8, 3))
+        out = center_crop_or_pad(hwc, 4)
+        assert out.shape == (4, 4, 3)
+        hw = jnp.zeros((6, 8))
+        assert center_crop_or_pad(hw, 4).shape == (4, 4)

@@ -190,3 +190,34 @@ class TestParseProbabilities:
         base = Description(tax.root).update([tax.find_node("Calanoida")])
         d = tax.parse_probabilities(p, baseline=base, thr_pos_abs=0.9)
         assert d.anchor.name == "Calanus"  # refined within the baseline subtree
+
+
+class TestRound3HuntFixes:
+    def test_nested_plain_tag_keys_build_child_tags(self):
+        """Child tags nest as plain keys (primary-node style) or under
+        _children — plain keys used to be silently dropped."""
+        from maze_image_processing_pipeline_tpu.polytaxo import PolyTaxonomy
+
+        tax = PolyTaxonomy.from_dict(
+            {
+                "Copepoda": {
+                    "_index": 0,
+                    "_tags": {"egg": {"_index": 8, "early": {"_index": 9}}},
+                }
+            }
+        )
+        assert tax.find_node("early").index == 9
+
+    def test_unknown_tag_key_raises(self):
+        from maze_image_processing_pipeline_tpu.polytaxo import PolyTaxonomy
+
+        with pytest.raises(ValueError, match="Unknown tag key"):
+            PolyTaxonomy.from_dict(
+                {"A": {"_index": 0, "_tags": {"t": {"_idnex": 3}}}}
+            )
+
+    def test_duplicate_classifier_index_raises(self):
+        from maze_image_processing_pipeline_tpu.polytaxo import PolyTaxonomy
+
+        with pytest.raises(ValueError, match="Duplicate classifier index"):
+            PolyTaxonomy.from_dict({"A": {"_index": 0, "B": 1, "C": 1}})
