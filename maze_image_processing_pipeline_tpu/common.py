@@ -15,6 +15,7 @@ from typing import Any, Dict, List, Mapping, Optional, Sequence
 import numpy as np
 
 __all__ = [
+    "find_files_glob",
     "round_ladder",
     "convert_img_dtype",
     "add_note",
@@ -23,6 +24,23 @@ __all__ = [
     "natsort_key",
     "FormatParser",
 ]
+
+
+def find_files_glob(pattern: str, ignore_patterns=None):
+    """Glob files, skipping (and logging) any matching an ignore pattern.
+
+    Shared by the loki and predict input builders (the two copies had
+    drifted into duplicates)."""
+    import fnmatch
+    import glob
+    import logging
+
+    logger = logging.getLogger(__name__)
+    for fn in glob.iglob(pattern):
+        if ignore_patterns and any(fnmatch.fnmatch(fn, p) for p in ignore_patterns):
+            logger.info("Ignoring %s.", fn)
+            continue
+        yield fn
 
 
 def round_ladder(m: int) -> int:

@@ -17,8 +17,6 @@ SURVEY.md §3.1), re-designed TPU-first:
 from __future__ import annotations
 
 import contextlib
-import fnmatch
-import glob as glob_mod
 import logging
 import os
 import sys
@@ -29,7 +27,11 @@ import numpy as np
 import pandas as pd
 
 from .. import __version__ as _version
-from ..common import natsorted, round_ladder as _round_ladder
+from ..common import (
+    find_files_glob as _find_files_glob,
+    natsorted,
+    round_ladder as _round_ladder,
+)
 from ..config import generate_yaml_example  # noqa: F401  (re-exported for docs)
 from ..dataio import Archive, EcotaxaWriter, ImageReader, Telemetry, read_tsv
 from ..dataio.loki import LOG_FIELDS_TO_ECOTAXA, find_data_roots, read_log, read_yaml
@@ -122,14 +124,6 @@ def score_fn_simple(meta0: Mapping, meta1: Mapping) -> float:
 
 # ---------------------------------------------------------------------------
 # Input stage
-
-
-def _find_files_glob(pattern: str, ignore_patterns=None):
-    for fn in glob_mod.iglob(pattern):
-        if ignore_patterns and any(fnmatch.fnmatch(fn, p) for p in ignore_patterns):
-            logger.info("Ignoring %s.", fn)
-            continue
-        yield fn
 
 
 def read_log_and_yaml_meta(data_root, meta: Mapping) -> Dict:

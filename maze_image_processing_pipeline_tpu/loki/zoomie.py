@@ -175,12 +175,18 @@ class _FeatureMatcher(_SimpleMatcher):
         detector_extractor: Optional[Callable] = None,
         pre_score_fn: Optional[Callable] = None,
         pre_score_thr: Optional[float] = None,
+        combine_score_fn: Optional[Callable] = None,
         max_age: int = 1,
         n_workers: int = 0,
     ):
         self.detector_extractor = detector_extractor or orb_detector_extractor
         self.pre_score_fn = pre_score_fn
         self.pre_score_thr = pre_score_thr
+        # Optional (feature_score, prev_args, cur_args) -> score hook: the
+        # reference's _match_pair combines geometric plausibility into the
+        # stage-2 feature score (zoomie2.py:130-140); without it the final
+        # match is pure ORB/RANSAC inlier ratio.
+        self.combine_score_fn = combine_score_fn
         self.min_similarity = min_similarity
         self.max_age = max_age
         self._prev: List[_TrackedObject] = []
@@ -240,12 +246,20 @@ class _FeatureMatcher(_SimpleMatcher):
             for j in range(len(new_objects))
             if j not in new_matched
         ]
-        scores = self._map(
-            lambda ij: _feature_match_score(
-                self._prev[ij[0]].description, new_objects[ij[1]].description
-            ),
-            pairs,
-        )
+        def pair_score(ij):
+            i, j = ij
+            score = _feature_match_score(
+                self._prev[i].description, new_objects[j].description
+            )
+            if self.combine_score_fn is not None:
+                score = self.combine_score_fn(
+                    score,
+                    self._prev[i].score_args,
+                    new_objects[j].score_args,
+                )
+            return score
+
+        scores = self._map(pair_score, pairs)
         sim = np.zeros((len(self._prev), len(new_objects)))
         for (i, j), s in zip(pairs, scores):
             sim[i, j] = s
@@ -315,6 +329,7 @@ class DetectDuplicates(Node):
         score_fn: Optional[Callable] = None,
         score_arg: RawOrVariable = None,
         pre_score_thr: Optional[float] = None,
+        combine_score_fn: Optional[Callable] = None,
         min_similarity: float = 0.25,
         detector_extractor: Optional[Callable] = None,
         max_age: int = 1,
@@ -324,12 +339,13 @@ class DetectDuplicates(Node):
         self.image = image
         self.groupby = groupby
         self.score_fn = score_fn
+        self.combine_score_fn = combine_score_fn
         self.score_arg = score_arg
         self.pre_score_thr = pre_score_thr
         self.min_similarity = min_similarity
         self.detector_extractor = detector_extractor
         self.max_age = max_age
-        self.n_workers = os.cpu_count() or 1 if n_workers is None else n_workers
+        self.n_workers = (os.cpu_count() or 1) if n_workers is None else n_workers
         super().__init__()
 
     def transform_stream(self, stream: Stream) -> Stream:
@@ -338,6 +354,7 @@ class DetectDuplicates(Node):
             detector_extractor=self.detector_extractor,
             pre_score_fn=self.score_fn,
             pre_score_thr=self.pre_score_thr,
+            combine_score_fn=self.combine_score_fn,
             max_age=self.max_age,
             n_workers=self.n_workers,
         )

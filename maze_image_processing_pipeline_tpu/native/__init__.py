@@ -27,16 +27,26 @@ _load_failed = False
 
 
 def _build() -> bool:
+    # Build to a per-process temp path and atomically rename: multiple
+    # shard processes (input.num_shards > 1) can race the stale-mtime
+    # check, and compiling straight onto _SO would let another process
+    # dlopen a half-written library (or SIGBUS one that already mapped it).
+    tmp = f"{_SO}.{os.getpid()}.tmp"
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", _SO, "-lz"],
+            ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", tmp, "-lz"],
             check=True,
             capture_output=True,
             timeout=120,
         )
+        os.replace(tmp, _SO)
         return True
     except (OSError, subprocess.SubprocessError) as exc:
         logger.info("mazecore native build unavailable: %s", exc)
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return False
 
 

@@ -10,8 +10,6 @@ off the same predictions variable and can be enabled simultaneously.
 
 from __future__ import annotations
 
-import fnmatch
-import glob as glob_mod
 import logging
 import os
 import sys
@@ -24,7 +22,11 @@ import pandas as pd
 import scipy.ndimage as ndi
 import yaml
 
-from ..common import natsorted, recursive_update
+from ..common import (
+    find_files_glob as _find_files_glob,
+    natsorted,
+    recursive_update,
+)
 from ..dataio import VALID_PREFIXES, EcotaxaReader, EcotaxaWriter, HDF5Writer
 from ..engine import (
     BatchedPipeline,
@@ -50,14 +52,6 @@ from .config_schema import ModelMetaSchema, PredictionPipelineConfig
 
 logging.captureWarnings(True)
 logger = logging.getLogger(__name__)
-
-
-def _find_files_glob(pattern: str, ignore_patterns=None):
-    for fn in glob_mod.iglob(pattern):
-        if ignore_patterns and any(fnmatch.fnmatch(fn, p) for p in ignore_patterns):
-            logger.info("Ignoring %s.", fn)
-            continue
-        yield fn
 
 
 # ---------------------------------------------------------------------------
