@@ -1,0 +1,65 @@
+"""Tunnel health watchdog: log fresh-program load + warm dispatch latency.
+
+One process, one backend init; every --interval seconds it times a FRESH
+tiny program (unique constant → distinct executable, so each sample pays
+the remote executable-load cost that dominates this host's tunnel — see
+BASELINE.md round-3 finding) plus 10 warm dispatches of the previous one.
+Appends one line per sample to --log. Healthy window ≈ load < 20 s and
+warm dispatch < 35 ms.
+
+Usage: python -u tools/tunnel_watch.py [--interval 300] [--log /tmp/tunnel_watch.log]
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_bench")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import jax.numpy as jnp  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--interval", type=float, default=300.0)
+    ap.add_argument("--log", default="/tmp/tunnel_watch.log")
+    args = ap.parse_args()
+
+    t0 = time.time()
+    dev = jax.devices()[0]
+    init_s = time.time() - t0
+    x = jnp.ones((256, 256))
+
+    def sample(k: int) -> tuple[float, float]:
+        f = jax.jit(lambda v: jnp.sin(v * (k + 1)).sum() + k)
+        t0 = time.time()
+        f(x).block_until_ready()
+        load_s = time.time() - t0
+        t0 = time.time()
+        for _ in range(10):
+            f(x).block_until_ready()
+        warm_ms = (time.time() - t0) / 10 * 1e3
+        return load_s, warm_ms
+
+    with open(args.log, "a") as fh:
+        fh.write(f"{time.strftime('%H:%M:%S')} init={init_s:.1f}s dev={dev}\n")
+        fh.flush()
+        k = int(time.time()) % 100000
+        while True:
+            load_s, warm_ms = sample(k)
+            healthy = load_s < 20 and warm_ms < 35
+            fh.write(
+                f"{time.strftime('%H:%M:%S')} load={load_s:.1f}s "
+                f"warm={warm_ms:.1f}ms {'HEALTHY' if healthy else 'degraded'}\n"
+            )
+            fh.flush()
+            k += 1
+            time.sleep(args.interval)
+
+
+if __name__ == "__main__":
+    main()
