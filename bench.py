@@ -343,9 +343,61 @@ def bench_models_cpu_torch():
     return unet_tile_fps, crops_fps
 
 
+def _arm_wedge_watchdog() -> None:
+    """Emit an honest failure line if the TPU tunnel wedges this process.
+
+    This host reaches its chip through a tunnel that sporadically blocks
+    backend init / executable loads for tens of minutes (BASELINE.md
+    round-3 findings; one observed outage raised UNAVAILABLE only after
+    ~30 min). The driver must always receive ONE JSON line, so after
+    BENCH_HARD_TIMEOUT_S we report value 0 with an error field instead of
+    hanging silently.
+    """
+    import threading
+
+    hard_s = float(os.environ.get("BENCH_HARD_TIMEOUT_S", "2700"))
+
+    def bail():
+        print(
+            json.dumps(
+                {
+                    "metric": "loki_segmentation_frames_per_sec_per_chip",
+                    "value": 0.0,
+                    "unit": "frames/s (1024x1024, threshold+morphology+CCL+props)",
+                    "vs_baseline": 0.0,
+                    "extras": {
+                        "error": f"TPU tunnel wedged: no result within {hard_s:.0f}s"
+                    },
+                }
+            ),
+            flush=True,
+        )
+        os._exit(2)
+
+    t = threading.Timer(hard_s, bail)
+    t.daemon = True
+    t.start()
+
+
 def main() -> None:
+    _arm_wedge_watchdog()
     frames = make_frames(BATCH)
-    tpu_fps = bench_tpu(frames)
+    try:
+        tpu_fps = bench_tpu(frames)
+    except Exception as exc:  # e.g. backend init UNAVAILABLE (tunnel outage)
+        print(
+            json.dumps(
+                {
+                    "metric": "loki_segmentation_frames_per_sec_per_chip",
+                    "value": 0.0,
+                    "unit": "frames/s (1024x1024, threshold+morphology+CCL+props)",
+                    "vs_baseline": 0.0,
+                    "extras": {"error": f"{type(exc).__name__}: {exc}"},
+                }
+            ),
+            flush=True,
+        )
+        return
     cpu_fps = bench_cpu_single_core(frames[0])
 
     # Model-path extras under a wall-clock budget: cold compiles through
