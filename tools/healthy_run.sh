@@ -1,0 +1,65 @@
+#!/bin/bash
+# Wait for a healthy TPU tunnel window, then run the round-3 measurement
+# suite serially (never two TPU processes at once — parallel/interrupted
+# processes wedge the tunnel for ~30 min, see CLAUDE.md).
+#
+# Usage: nohup bash tools/healthy_run.sh > /tmp/healthy_run/driver.log 2>&1 &
+set -u
+cd "$(dirname "$0")/.."
+OUT=/tmp/healthy_run
+mkdir -p "$OUT"
+
+probe() {
+  # One fresh tiny program + 10 warm dispatches; prints "load_s warm_ms".
+  timeout 900 python -u - <<'EOF' 2>/dev/null
+import time
+import jax
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_bench")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+import jax.numpy as jnp
+jax.devices()
+x = jnp.ones((256, 256))
+k = int(time.time())
+f = jax.jit(lambda v: jnp.sin(v * (k + 1)).sum() + k)
+t0 = time.time(); f(x).block_until_ready(); load_s = time.time() - t0
+t0 = time.time()
+for _ in range(10):
+    f(x).block_until_ready()
+warm_ms = (time.time() - t0) / 10 * 1e3
+print(f"{load_s:.1f} {warm_ms:.1f}")
+EOF
+}
+
+echo "$(date +%H:%M:%S) orchestrator start"
+while true; do
+  r=$(probe)
+  if [ -n "$r" ]; then
+    load=$(echo "$r" | awk '{print $1}')
+    warm=$(echo "$r" | awk '{print $2}')
+    echo "$(date +%H:%M:%S) probe load=${load}s warm=${warm}ms"
+    ok=$(python -c "print(1 if float('$load')<20 and float('$warm')<35 else 0)")
+    if [ "$ok" = "1" ]; then
+      echo "$(date +%H:%M:%S) HEALTHY — running measurement suite"
+      echo "$(date +%H:%M:%S) [1/4] bench_e2e --repeat 2"
+      timeout 3600 python tools/bench_e2e.py --repeat 2 \
+        > "$OUT/bench_e2e.json" 2> "$OUT/bench_e2e.err"
+      echo "$(date +%H:%M:%S) bench_e2e exit=$?"
+      echo "$(date +%H:%M:%S) [2/4] perf_props"
+      timeout 2400 python tools/perf_props.py \
+        > "$OUT/perf_props.txt" 2>&1
+      echo "$(date +%H:%M:%S) perf_props exit=$?"
+      echo "$(date +%H:%M:%S) [3/4] perf_lab chain stages"
+      timeout 2400 python tools/perf_lab.py morph rsmall chainxla \
+        > "$OUT/perf_lab.txt" 2>&1
+      echo "$(date +%H:%M:%S) perf_lab exit=$?"
+      echo "$(date +%H:%M:%S) [4/4] bench.py"
+      timeout 3000 python bench.py > "$OUT/bench.json" 2> "$OUT/bench.err"
+      echo "$(date +%H:%M:%S) bench exit=$?"
+      echo "$(date +%H:%M:%S) suite DONE"
+      break
+    fi
+  else
+    echo "$(date +%H:%M:%S) probe failed/timed out (tunnel down)"
+  fi
+  sleep 240
+done
