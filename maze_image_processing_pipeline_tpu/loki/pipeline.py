@@ -569,18 +569,34 @@ class DeviceTiledSegmentation(Node):
             from ..models.inference import default_device_pre
 
             apply_fn = self._model.apply
-            params = self._model.params
-
-            # Params as argument, not closure: closed-over device arrays
-            # embed as MLIR constants and are fetched back at every
-            # lowering (BASELINE.md round-2 findings).
             @jax.jit
             def infer_p(params, tiles_u8):  # (bs, ts, ts) uint8
                 x = default_device_pre(tiles_u8)
                 y = jax.nn.sigmoid(apply_fn(params, x))
                 return y[..., 0].astype(jnp.float32)
 
-            self._infer = lambda tiles: infer_p(params, tiles)
+            # Params as jit ARGUMENT (closures embed device constants that
+            # are fetched back at every lowering — BASELINE.md round-2),
+            # but device_put ONCE PER DEVICE: numpy pytrees passed to jit
+            # are re-transferred host→device on every dispatch, which
+            # costs the full weight set per tile chunk on tunneled hosts.
+            # Frame groups round-robin over mesh devices, so the committed
+            # copy must match the chunk's device.
+            params_np = self._model.params
+            param_cache: Dict[object, object] = {}
+
+            def _infer(tiles, device=None):
+                p = param_cache.get(device)
+                if p is None:
+                    p = (
+                        jax.device_put(params_np, device)
+                        if device is not None
+                        else jax.device_put(params_np)
+                    )
+                    param_cache[device] = p
+                return infer_p(p, tiles)
+
+            self._infer = _infer
         return self._infer
 
     def _build(self, Hb: int, Wb: int):
@@ -676,7 +692,7 @@ class DeviceTiledSegmentation(Node):
                 chunk = tiles_host[i : i + bs]
                 if device is not None:
                     chunk = jax.device_put(chunk, device)
-                chunks.append(infer(chunk))
+                chunks.append(infer(chunk, device))
             pred = blend(tuple(chunks), tb, ty, tx, n_occ, hs, ws)
             return post(pred, frames_dev)
 

@@ -127,6 +127,11 @@ class JaxInference(Node):
             from ..parallel.mesh import shard_params
 
             params = shard_params(params, mesh)
+        else:
+            # One upload at construction: numpy pytrees passed as jit
+            # arguments are re-TRANSFERRED host→device on every dispatch
+            # (tens of MB of weights per batch through a tunneled host).
+            params = jax.device_put(params)
         output_key_ = output_key
         device_pre_ = device_pre
         device_post_ = device_post
@@ -311,14 +316,28 @@ class DeviceTiledInference(Node):
             return y.astype(jnp.float32)
 
         self._step = step
-        self._params = model.params
-        self._devices = list(mesh.devices.flat) if mesh is not None else [None]
+        if mesh is not None:
+            # ONE sharded program: tile chunks shard over the data axis
+            # (zero collectives in the forward), params pre-placed on the
+            # mesh. Round-robining chunks over raw devices would instead
+            # compile + LOAD a separate executable per device (5-800 s
+            # each through tunneled hosts — BASELINE.md round-3).
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            from ..parallel.mesh import shard_params
+
+            self._params = shard_params(model.params, mesh)
+            self._data_sharding = NamedSharding(mesh, PartitionSpec("data"))
+            dsize = dict(zip(mesh.axis_names, mesh.devices.shape)).get("data", 1)
+            self.batch_size = -(-self.batch_size // dsize) * dsize
+        else:
+            # One upload at construction: numpy pytrees passed as jit
+            # arguments are re-transferred on every dispatch.
+            self._params = jax.device_put(model.params)
+            self._data_sharding = None
         # Per-instance program cache: a class-level lru_cache would key on
         # self and pin every instance (and its params) for process life.
         self._programs_cache = {}
-
-    def _input_names(self):
-        return ("image",)
 
     def _programs(self, Hb: int, Wb: int):
         cached = self._programs_cache.get((Hb, Wb))
@@ -380,7 +399,7 @@ class DeviceTiledInference(Node):
 
         return blend
 
-    def _run_chunk(self, images, device):
+    def _run_chunk(self, images):
         """Dispatch one chunk; returns (fetch_future, layout)."""
         from ..engine.tiles import _tile_starts
 
@@ -433,8 +452,8 @@ class DeviceTiledInference(Node):
             preds = []
             for o in range(0, Ncap, self.batch_size):
                 chunk = tiles[o : o + self.batch_size]
-                if device is not None:
-                    chunk = jax.device_put(chunk, device)
+                if self._data_sharding is not None:
+                    chunk = jax.device_put(chunk, self._data_sharding)
                 preds.append(self._step(self._params, chunk))
             # Quantize the canvas batch to the ladder too: every distinct
             # (Hb, Wb, Ncap, Bo) combination compiles a blend variant.
@@ -468,15 +487,12 @@ class DeviceTiledInference(Node):
         pending = collections.deque()
         chunk_objs: List = []
         chunk_imgs: List = []
-        chunk_idx = 0
 
         def flush():
-            nonlocal chunk_objs, chunk_imgs, chunk_idx
+            nonlocal chunk_objs, chunk_imgs
             if not chunk_objs:
                 return
-            device = self._devices[chunk_idx % len(self._devices)]
-            chunk_idx += 1
-            out, layout = self._run_chunk(chunk_imgs, device)
+            out, layout = self._run_chunk(chunk_imgs)
             pending.append((chunk_objs, chunk_imgs, out, layout))
             chunk_objs, chunk_imgs = [], []
 

@@ -215,6 +215,23 @@ def import_torch_state_dict(state_dict: Dict, flax_params: Dict) -> Dict:
     for (fpath, fleaves), (tname, tleaves) in zip(
         flax_modules.items(), torch_modules.items()
     ):
+        # Every torch param must be CONSUMED, not just every flax param
+        # satisfied: e.g. a torch BatchNorm ({weight, bias, running_mean,
+        # running_var}) zipped against a flax GroupNorm ({scale, bias})
+        # would otherwise "import" while silently dropping the running
+        # statistics the checkpoint's semantics depend on.
+        consumed = {
+            "weight" if ln in ("kernel", "scale") and "weight" in tleaves else ln
+            for ln in fleaves
+        }
+        unconsumed = set(tleaves) - consumed
+        if unconsumed:
+            raise ValueError(
+                f"Torch module '{tname}' has params {sorted(unconsumed)} "
+                f"with no counterpart in flax module {fpath} "
+                f"({sorted(fleaves)}) — the architectures differ "
+                "(e.g. BatchNorm running stats vs a stateless norm)."
+            )
         for leaf_name, target in fleaves.items():
             if leaf_name in ("kernel", "scale") and "weight" in tleaves:
                 arr = tleaves["weight"]

@@ -265,10 +265,13 @@ def group_norm_bwd_pallas(
 ):
     """GroupNorm VJP on TPU: returns ``(dx, dscale, dbias)``.
 
-    Same strip layout as the forward kernel so the train path stops
-    paying the composed-XLA cost the forward fix removed (VERDICT round-2
-    item 9); parity vs ``jax.vjp`` of the XLA reference is tested in
-    interpret mode.
+    Same strip layout as the forward kernel. NOT dispatched by
+    ``models.layers.GroupNorm`` — the round-3 re-measurement showed the
+    XLA formulation composes at its isolated ~roofline cost in both
+    directions (BASELINE.md round-3 model-path findings), so the layers
+    use plain autodiff and this kernel is kept as a measured alternative
+    for locally-attached-TPU services (parity vs ``jax.vjp`` of the XLA
+    reference is tested in interpret mode).
     """
     orig_shape = x.shape
     B, C = x.shape[0], x.shape[-1]

@@ -671,6 +671,14 @@ class Runner(PipelineRunner):
                 # prediction is fetched, packed per chunk of objects.
                 from ..models import DeviceTiledInference
 
+                if config.model.n_threads > 1:
+                    logger.warning(
+                        "model.n_threads=%d has no effect on the fused "
+                        "device-blend path (host work there is tile "
+                        "cutting only); set tiling.device_blend: false "
+                        "to use host thread parallelism.",
+                        config.model.n_threads,
+                    )
                 predictions = DeviceTiledInference(
                     model,
                     image,

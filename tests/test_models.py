@@ -361,3 +361,22 @@ def test_import_torch_state_dict_mismatch_errors():
         )
     with pytest.raises(ValueError, match="Shape mismatch"):
         import_torch_state_dict(nn.Conv2d(3, 8, 3).state_dict(), fparams)
+
+
+def test_import_torch_state_dict_rejects_unconsumed_params():
+    """A torch module with leftover params (e.g. BatchNorm running stats
+    against a stateless flax norm) must raise, not silently drop them."""
+    pytest.importorskip("torch")
+    import flax.linen as fnn
+    import torch.nn as nn
+
+    from maze_image_processing_pipeline_tpu.models.model_io import (
+        import_torch_state_dict,
+    )
+
+    gn = fnn.GroupNorm(num_groups=2)
+    fparams = gn.init(jax.random.key(0), jnp.zeros((1, 8, 8, 4)))
+
+    bn = nn.BatchNorm2d(4)  # weight, bias, running_mean, running_var
+    with pytest.raises(ValueError, match="running_mean"):
+        import_torch_state_dict(bn.state_dict(), fparams)
