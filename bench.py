@@ -343,35 +343,58 @@ def bench_models_cpu_torch():
     return unet_tile_fps, crops_fps
 
 
+_UNIT = "frames/s (1024x1024, threshold+morphology+CCL+props)"
+# Best-so-far state, so the wedge watchdog reports a measured primary
+# metric when a LATER phase (CPU baseline, model extras) wedges instead
+# of overwriting it with a false failure.
+_PARTIAL: dict = {}
+
+
+def _emit(value: float, vs_baseline: float, extras: dict) -> None:
+    print(
+        json.dumps(
+            {
+                "metric": "loki_segmentation_frames_per_sec_per_chip",
+                "value": round(value, 2),
+                "unit": _UNIT,
+                "vs_baseline": round(vs_baseline, 2),
+                "extras": extras,
+            }
+        ),
+        flush=True,
+    )
+
+
 def _arm_wedge_watchdog() -> None:
-    """Emit an honest failure line if the TPU tunnel wedges this process.
+    """Emit an honest line if the TPU tunnel wedges this process.
 
     This host reaches its chip through a tunnel that sporadically blocks
     backend init / executable loads for tens of minutes (BASELINE.md
     round-3 findings; one observed outage raised UNAVAILABLE only after
     ~30 min). The driver must always receive ONE JSON line, so after
-    BENCH_HARD_TIMEOUT_S we report value 0 with an error field instead of
-    hanging silently.
+    BENCH_HARD_TIMEOUT_S we report whatever was measured so far (value 0
+    only if the primary metric itself never completed) instead of hanging
+    silently.
     """
     import threading
 
     hard_s = float(os.environ.get("BENCH_HARD_TIMEOUT_S", "2700"))
 
     def bail():
-        print(
-            json.dumps(
-                {
-                    "metric": "loki_segmentation_frames_per_sec_per_chip",
-                    "value": 0.0,
-                    "unit": "frames/s (1024x1024, threshold+morphology+CCL+props)",
-                    "vs_baseline": 0.0,
-                    "extras": {
-                        "error": f"TPU tunnel wedged: no result within {hard_s:.0f}s"
-                    },
-                }
-            ),
-            flush=True,
-        )
+        err = f"TPU tunnel wedged after {hard_s:.0f}s"
+        extras = dict(_PARTIAL.get("extras", {}))
+        if "tpu_fps" in _PARTIAL:
+            extras["error"] = f"{err} (primary metric measured before the wedge)"
+            _emit(
+                _PARTIAL["tpu_fps"],
+                _PARTIAL["tpu_fps"] / _PARTIAL["cpu_fps"]
+                if "cpu_fps" in _PARTIAL
+                else 0.0,
+                extras,
+            )
+        else:
+            extras["error"] = f"{err}: no result"
+            _emit(0.0, 0.0, extras)
         os._exit(2)
 
     t = threading.Timer(hard_s, bail)
@@ -385,27 +408,18 @@ def main() -> None:
     try:
         tpu_fps = bench_tpu(frames)
     except Exception as exc:  # e.g. backend init UNAVAILABLE (tunnel outage)
-        print(
-            json.dumps(
-                {
-                    "metric": "loki_segmentation_frames_per_sec_per_chip",
-                    "value": 0.0,
-                    "unit": "frames/s (1024x1024, threshold+morphology+CCL+props)",
-                    "vs_baseline": 0.0,
-                    "extras": {"error": f"{type(exc).__name__}: {exc}"},
-                }
-            ),
-            flush=True,
-        )
+        _emit(0.0, 0.0, {"error": f"{type(exc).__name__}: {exc}"})
         return
+    _PARTIAL["tpu_fps"] = tpu_fps
     cpu_fps = bench_cpu_single_core(frames[0])
+    _PARTIAL["cpu_fps"] = cpu_fps
 
     # Model-path extras under a wall-clock budget: cold compiles through
     # this host's tunnel cost minutes, and the primary metric must always
     # print (the persistent compilation cache makes warm runs fast).
     budget_s = float(os.environ.get("BENCH_BUDGET_S", "420"))
     t_start = time.perf_counter()
-    extras = {}
+    extras = _PARTIAL.setdefault("extras", {})
     try:
         if time.perf_counter() - t_start < budget_s:
             unet_fps = bench_unet_tiles_tpu()
@@ -425,17 +439,7 @@ def main() -> None:
     except Exception as exc:  # never lose the primary metric
         extras["error"] = f"{type(exc).__name__}: {exc}"
 
-    print(
-        json.dumps(
-            {
-                "metric": "loki_segmentation_frames_per_sec_per_chip",
-                "value": round(tpu_fps, 2),
-                "unit": "frames/s (1024x1024, threshold+morphology+CCL+props)",
-                "vs_baseline": round(tpu_fps / cpu_fps, 2),
-                "extras": extras,
-            }
-        )
-    )
+    _emit(tpu_fps, tpu_fps / cpu_fps, extras)
 
 
 if __name__ == "__main__":

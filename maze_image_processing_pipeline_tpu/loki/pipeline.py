@@ -484,9 +484,13 @@ def _unpack_stats_batch(dev_out, B, pack_keys):
 def _finalize_frame(labels, n, props, post_cfg):
     """Shared host-side epilogue: overflow warning + optional bridge merge."""
     if n >= post_cfg.max_regions:
+        # Not a data loss: regions beyond the device budget are recovered
+        # by the host fallback (_host_overflow_regions / the label>=R
+        # branch of FindRegions), which is slower per region.
         logger.warning(
-            "Frame has %d regions, exceeding max_regions=%d; "
-            "excess regions are dropped.",
+            "Frame has %d regions, exceeding max_regions=%d; the excess "
+            "is measured on the host (slow path) — raise max_regions if "
+            "this happens often.",
             n,
             post_cfg.max_regions,
         )
@@ -758,8 +762,7 @@ class DeviceTiledSegmentation(Node):
         buckets, region_plans = self._plan_crops(stats, dims, Hp, Wp)
         bs = 8
         parts = []
-        layout = []  # (key, Ncap, Sh, Sw, offset into flat)
-        offset = 0
+        layout = []  # (key, Ncap)
         for key in sorted(buckets):
             jobs = buckets[key]
             Sh, Sw = key
@@ -776,8 +779,7 @@ class DeviceTiledSegmentation(Node):
                     size_h=Sh, size_w=Sw,
                 )
             )
-            layout.append((key, Ncap, Sh, Sw, offset))
-            offset += 2 * Ncap * Sh * Sw
+            layout.append((key, Ncap))
         R = self._post_cfg.max_regions
         any_overflow = any(stats[b][0] > R - 1 for b in range(len(dims)))
         if not parts and not any_overflow:
@@ -786,12 +788,14 @@ class DeviceTiledSegmentation(Node):
         # be one more device program per bucket-shape combination, and each
         # distinct program pays the 5-800 s executable load through the
         # tunnel (BASELINE.md round-3).
-        for part in parts:
-            copy_async = getattr(part, "copy_to_host_async", None)
-            if copy_async is not None:
-                copy_async()
+        if os.environ.get("MAZE_ASYNC_COPY", "1") != "0":
+            for part in parts:
+                copy_async = getattr(part, "copy_to_host_async", None)
+                if copy_async is not None:
+                    copy_async()
         views = {}
-        for (key, Ncap, Sh, Sw, _), part in zip(layout, parts):
+        for (key, Ncap), part in zip(layout, parts):
+            Sh, Sw = key
             fp = np.asarray(part)
             sz = Ncap * Sh * Sw
             views[key] = (

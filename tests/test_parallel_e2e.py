@@ -91,3 +91,52 @@ def test_loki_parallel_explicit_mesh(tmp_path, model_dir):
         tmp_path, model_dir, "out_mesh2", {"mesh": {"data": 8}}
     )
     assert len(df) >= 4
+
+
+def test_device_tiled_inference_mesh_matches_single(tmp_path):
+    """DeviceTiledInference with a mesh must run ONE sharded program over
+    the data axis (params via shard_params) and reproduce the
+    single-device predictions exactly."""
+    import jax.numpy as jnp
+
+    from maze_image_processing_pipeline_tpu.engine import Call, Pipeline, Unpack
+    from maze_image_processing_pipeline_tpu.models import (
+        DeviceTiledInference,
+        UNet,
+        load_model,
+        save_model,
+    )
+
+    from fixtures import draw_blob
+
+    rng = np.random.default_rng(3)
+    crops = [draw_blob(rng, shape=s, r=10) for s in [(64, 64), (100, 90), (40, 56)]]
+
+    model_dir = str(tmp_path / "unet")
+    module = UNet(out_channels=2, base_features=4, depth=1, dtype=jnp.float32)
+    params = module.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
+    save_model(
+        model_dir, module, params,
+        outputs={"pred": {"channel_names": ["a", "b"]}},
+    )
+    model = load_model(model_dir, dtype="float32")
+    mesh = setup_parallel(ParallelConfig(mesh={"data": 8}))
+
+    def run(mesh):
+        out = []
+        with Pipeline() as pl:
+            img = Unpack(crops)
+            pred = DeviceTiledInference(
+                model, img, tile_size=64, tile_stride=48, batch_size=2,
+                mesh=mesh,
+            )
+            Call(lambda p: out.append(np.asarray(p)), pred)
+        pl.run()
+        return out
+
+    single = run(None)
+    sharded = run(mesh)
+    assert len(single) == len(sharded) == len(crops)
+    for a, b in zip(single, sharded):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
