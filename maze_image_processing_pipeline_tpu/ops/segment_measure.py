@@ -47,7 +47,7 @@ def measure_largest_component(
     fill_holes: bool,
     num_segments: int = 16,
     n_bg_segments: int = 32,
-) -> Tuple[Dict[str, jnp.ndarray], jnp.ndarray, jnp.ndarray]:
+) -> Tuple[Dict[str, jnp.ndarray], jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Measure the largest 8-connected component of each mask in a batch.
 
     Args:

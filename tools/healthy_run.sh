@@ -11,23 +11,9 @@ mkdir -p "$OUT"
 
 probe() {
   # One fresh tiny program + 10 warm dispatches; prints "load_s warm_ms".
-  timeout 900 python -u - <<'EOF' 2>/dev/null
-import time
-import jax
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_bench")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-import jax.numpy as jnp
-jax.devices()
-x = jnp.ones((256, 256))
-k = int(time.time())
-f = jax.jit(lambda v: jnp.sin(v * (k + 1)).sum() + k)
-t0 = time.time(); f(x).block_until_ready(); load_s = time.time() - t0
-t0 = time.time()
-for _ in range(10):
-    f(x).block_until_ready()
-warm_ms = (time.time() - t0) / 10 * 1e3
-print(f"{load_s:.1f} {warm_ms:.1f}")
-EOF
+  # Single source of probe logic + thresholds: tools/tunnel_watch.py.
+  # tail -1 guards against stray stdout lines from libraries.
+  timeout 900 python -u tools/tunnel_watch.py --once 2>/dev/null | tail -1
 }
 
 echo "$(date +%H:%M:%S) orchestrator start"
@@ -37,7 +23,9 @@ while true; do
     load=$(echo "$r" | awk '{print $1}')
     warm=$(echo "$r" | awk '{print $2}')
     echo "$(date +%H:%M:%S) probe load=${load}s warm=${warm}ms"
-    ok=$(python -c "print(1 if float('$load')<20 and float('$warm')<35 else 0)")
+    ok=$(python -c "
+from tools.tunnel_watch import LOAD_S, WARM_MS
+print(1 if float('$load') < LOAD_S and float('$warm') < WARM_MS else 0)" 2>/dev/null || echo 0)
     if [ "$ok" = "1" ]; then
       echo "$(date +%H:%M:%S) HEALTHY — running measurement suite"
       echo "$(date +%H:%M:%S) [1/4] bench_e2e --repeat 2"

@@ -33,26 +33,32 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 
-def time_loop(fn, x, k=12):
-    """Per-iteration seconds of fn inside one jitted fori_loop (K vs 1)."""
+def time_loop(fn, x, k=12, aux=None):
+    """Per-iteration seconds of fn inside one jitted fori_loop (K vs 1).
+
+    ``aux`` (e.g. a fixed labels array) rides as a jit ARGUMENT —
+    closing the jitted loop over a device array would fetch it back to
+    host at every lowering and embed it as an HLO constant (BASELINE.md
+    device-closure trap).
+    """
 
     def make_loop(K):
-        def loop(images):
+        def loop(images, aux):
             def body(i, acc):
                 pert = images + (i % 2).astype(images.dtype)
-                return acc + fn(pert)
+                return acc + (fn(pert) if aux is None else fn(pert, aux))
 
             return jax.lax.fori_loop(0, K, body, jnp.float32(0))
 
         return jax.jit(loop)
 
     loop_k, loop_1 = make_loop(k), make_loop(1)
-    np.asarray(loop_k(x)), np.asarray(loop_1(x))  # compile + warm
+    np.asarray(loop_k(x, aux)), np.asarray(loop_1(x, aux))  # compile + warm
     t0 = time.perf_counter()
-    np.asarray(loop_k(x))
+    np.asarray(loop_k(x, aux))
     t_k = time.perf_counter() - t0
     t0 = time.perf_counter()
-    np.asarray(loop_1(x))
+    np.asarray(loop_1(x, aux))
     t_1 = time.perf_counter() - t0
     return (t_k - t_1) / (k - 1)
 
@@ -237,13 +243,13 @@ def main() -> None:
     if want("props"):
         labels_fixed = jax.device_put(np.asarray(to_labels(x)))
 
-        def f(im):
+        def f(im, labels):
             props = regionprops_fused_pallas(
-                labels_fixed, im, num_segments=NUM_SEGMENTS
+                labels, im, num_segments=NUM_SEGMENTS
             )
             return jnp.sum(props["area"]) + jnp.sum(props["intensity_mean"])
 
-        results["props"] = time_loop(f, x)
+        results["props"] = time_loop(f, x, aux=labels_fixed)
     if want("propsxla"):
         from maze_image_processing_pipeline_tpu.ops.regionprops_fused import (
             regionprops_fused,
@@ -251,38 +257,38 @@ def main() -> None:
 
         labels_fixed = jax.device_put(np.asarray(to_labels(x)))
 
-        def f(im):
+        def f(im, labels):
             props = regionprops_fused(
-                labels_fixed, im, num_segments=NUM_SEGMENTS
+                labels, im, num_segments=NUM_SEGMENTS
             )
             return jnp.sum(props["area"]) + jnp.sum(props["intensity_mean"])
 
-        results["propsxla"] = time_loop(f, x)
+        results["propsxla"] = time_loop(f, x, aux=labels_fixed)
 
     for th in (8, 16, 32, 64):
         if want(f"props{th}"):
             labels_fixed = jax.device_put(np.asarray(to_labels(x)))
 
-            def f(im, th=th):
+            def f(im, labels, th=th):
                 props = regionprops_fused_pallas(
-                    labels_fixed, im, num_segments=NUM_SEGMENTS, tile_rows=th
+                    labels, im, num_segments=NUM_SEGMENTS, tile_rows=th
                 )
                 return jnp.sum(props["area"]) + jnp.sum(props["intensity_mean"])
 
             try:
-                results[f"props{th}"] = time_loop(f, x)
+                results[f"props{th}"] = time_loop(f, x, aux=labels_fixed)
             except Exception as e:  # e.g. scoped-VMEM OOM at large strips
                 print(f"props{th} FAILED: {str(e)[:200]}", flush=True)
 
     if want("rsmall"):
         labels_fixed = jax.device_put(np.asarray(to_labels(x)))
 
-        def f(im):
-            lab = labels_fixed + (im[0, 0, 0] % 2).astype(jnp.int32) * 0
+        def f(im, labels):
+            lab = labels + (im[0, 0, 0] % 2).astype(jnp.int32) * 0
             lab2, n = lm.remove_small_objects(lab, MIN_AREA, num_segments=256)
             return jnp.sum(n).astype(jnp.float32) + lab2[0, 0, 0].astype(jnp.float32)
 
-        results["rsmall"] = time_loop(f, x)
+        results["rsmall"] = time_loop(f, x, aux=labels_fixed)
 
     if want("chain"):
 

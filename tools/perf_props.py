@@ -70,27 +70,27 @@ def main() -> None:
 
     if want("nohist"):
 
-        def f(im):
+        def f(im, labels):
             p = regionprops_fused(
-                labels_fixed, im, num_segments=NUM_SEGMENTS, compute_histogram=False
+                labels, im, num_segments=NUM_SEGMENTS, compute_histogram=False
             )
             return jnp.sum(p["area"]) + jnp.sum(p["intensity_mean"])
 
-        report("nohist", time_loop(f, x))
+        report("nohist", time_loop(f, x, aux=labels_fixed))
 
     for chunk in (64, 128, 256, 512):
         if want(f"hist{chunk}"):
 
-            def f(im, chunk=chunk):
+            def f(im, labels, chunk=chunk):
                 p = regionprops_fused(
-                    labels_fixed,
+                    labels,
                     im,
                     num_segments=NUM_SEGMENTS,
                     hist_row_chunk=chunk,
                 )
                 return jnp.sum(p["area"]) + jnp.sum(p["histogram"])
 
-            report(f"hist{chunk}", time_loop(f, x))
+            report(f"hist{chunk}", time_loop(f, x, aux=labels_fixed))
 
     # --- histogram-only formulations (labels fixed, intensity perturbed) ---
     H, W = frames.shape[-2:]
@@ -98,8 +98,7 @@ def main() -> None:
     r_ids = jnp.arange(R, dtype=jnp.int32)
     bin_range = jnp.arange(256, dtype=jnp.int32)
 
-    def hist_only(im, dtype, chunk):
-        lab = labels_fixed
+    def hist_only(im, lab, dtype, chunk):
         bins_i = jnp.clip(im.astype(jnp.float32), 0, 255).astype(jnp.int32)
         n_chunks = -(-H // chunk)
         B = lab.shape[0]
@@ -130,7 +129,14 @@ def main() -> None:
         for chunk in (128, 256):
             name = f"histonly_{tag}_{chunk}"
             if want(name):
-                report(name, time_loop(lambda im, d=dtype, c=chunk: hist_only(im, d, c), x))
+                report(
+                    name,
+                    time_loop(
+                        lambda im, lab, d=dtype, c=chunk: hist_only(im, lab, d, c),
+                        x,
+                        aux=labels_fixed,
+                    ),
+                )
 
     # remove_small_objects: one-hot relabel (current) vs per-pixel table
     # gather. The one-hot costs R=256 compare+select per pixel; the gather
@@ -152,19 +158,19 @@ def main() -> None:
 
         if want("rsmall_onehot"):
 
-            def f(im):
-                lab = raw_labels + (im[0, 0, 0] % 2).astype(jnp.int32) * 0
+            def f(im, raw):
+                lab = raw + (im[0, 0, 0] % 2).astype(jnp.int32) * 0
                 lab2, n = lm.remove_small_objects(lab, MIN_AREA, num_segments=256)
                 return jnp.sum(n).astype(jnp.float32) + lab2[0, 0, 0].astype(
                     jnp.float32
                 )
 
-            report("rsmall_onehot", time_loop(f, x))
+            report("rsmall_onehot", time_loop(f, x, aux=raw_labels))
 
         if want("rsmall_gather"):
 
-            def f(im):
-                lab = raw_labels + (im[0, 0, 0] % 2).astype(jnp.int32) * 0
+            def f(im, raw):
+                lab = raw + (im[0, 0, 0] % 2).astype(jnp.int32) * 0
                 areas = lm.region_areas(lab, 256)
                 keep = areas >= MIN_AREA
                 keep = keep.at[..., 0].set(False)
@@ -178,7 +184,7 @@ def main() -> None:
                     jnp.float32
                 )
 
-            report("rsmall_gather", time_loop(f, x))
+            report("rsmall_gather", time_loop(f, x, aux=raw_labels))
 
     # Foreground row compaction: contract only the K most-occupied rows.
     for K in (256, 512):
@@ -188,8 +194,7 @@ def main() -> None:
                 print(f"{name}: SKIP (occ_rows {occ_rows} > K)", flush=True)
                 continue
 
-            def f(im, K=K):
-                lab = labels_fixed
+            def f(im, lab, K=K):
                 bins_i = jnp.clip(im.astype(jnp.float32), 0, 255).astype(jnp.int32)
                 occ = (lab > 0).any(axis=2)  # (B, H)
                 # top-K occupied rows per frame (order irrelevant for a sum)

@@ -36,27 +36,32 @@ B = int(os.environ.get("PERF_B", "8"))
 TS = int(os.environ.get("PERF_TS", "1024"))
 
 
-def time_loop_p(fn, params, x, k=8):
-    """Per-iteration seconds of fn(params, x) inside one jitted fori_loop."""
+def time_loop_p(fn, params, x, k=8, aux=None):
+    """Per-iteration seconds of fn(params, x[, aux]) inside one jitted
+    fori_loop. ``aux`` (e.g. a skip tensor) rides as a jit ARGUMENT —
+    closing over a device array embeds it as an HLO constant fetched back
+    at every lowering (BASELINE.md device-closure trap)."""
 
     def make_loop(K):
         @jax.jit
-        def loop(params, images):
+        def loop(params, images, aux):
             def body(i, acc):
                 pert = images + (i % 2).astype(images.dtype)
-                return acc + fn(params, pert)
+                return acc + (
+                    fn(params, pert) if aux is None else fn(params, pert, aux)
+                )
 
             return jax.lax.fori_loop(0, K, body, jnp.float32(0))
 
         return loop
 
     loop_k, loop_1 = make_loop(k), make_loop(1)
-    np.asarray(loop_k(params, x)), np.asarray(loop_1(params, x))
+    np.asarray(loop_k(params, x, aux)), np.asarray(loop_1(params, x, aux))
     t0 = time.perf_counter()
-    np.asarray(loop_k(params, x))
+    np.asarray(loop_k(params, x, aux))
     t_k = time.perf_counter() - t0
     t0 = time.perf_counter()
-    np.asarray(loop_1(params, x))
+    np.asarray(loop_1(params, x, aux))
     t_1 = time.perf_counter() - t0
     return (t_k - t_1) / (k - 1)
 
@@ -158,10 +163,10 @@ def main():
                         rng, jnp.zeros((1, 16, 16, 2 * f)), jnp.zeros((1, 32, 32, f))
                     )
 
-                    def fwd(pp, im):
-                        return jnp.sum(dec.apply(pp, im, skip).astype(jnp.float32))
+                    def fwd(pp, im, sk):
+                        return jnp.sum(dec.apply(pp, im, sk).astype(jnp.float32))
 
-                    t = time_loop_p(fwd, p, lo)
+                    t = time_loop_p(fwd, p, lo, aux=skip)
                     report(f"decoder L{i} f={f} @{r} norm={norm} up={up_kind}", t)
 
     if on("conv1"):
