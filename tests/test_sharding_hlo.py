@@ -65,6 +65,35 @@ def test_dp_inference_hlo_has_zero_collectives(eight_devices):
     assert count_collectives(hlo) == {}
 
 
+def test_device_tiled_inference_forward_hlo_has_zero_collectives(eight_devices):
+    """DeviceTiledInference's mesh mode shards tile chunks over 'data' with
+    shard_params-replicated weights: its forward step must also be
+    collective-free (chips scale tile throughput linearly)."""
+    from maze_image_processing_pipeline_tpu.models.inference import (
+        default_device_pre,
+        sigmoid_post,
+    )
+    from maze_image_processing_pipeline_tpu.parallel.mesh import shard_params
+
+    mesh = make_mesh({"data": N_DEV})
+    module = UNet(out_channels=2, base_features=8, depth=1, dtype=jnp.bfloat16)
+    tiles = np.zeros((N_DEV * 2, 64, 64), np.uint8)
+    params = module.init(
+        jax.random.key(0), jnp.zeros((1, 64, 64, 3), jnp.float32)
+    )
+    params = shard_params(params, mesh)
+
+    def step(params, tiles):
+        y = sigmoid_post(module.apply(params, default_device_pre(tiles)))
+        return y.astype(jnp.float32)
+
+    ts = jax.device_put(
+        tiles, NamedSharding(mesh, shard_batch_spec(mesh, tiles.ndim))
+    )
+    hlo = jax.jit(step).lower(params, ts).compile().as_text()
+    assert count_collectives(hlo) == {}
+
+
 def test_train_step_hlo_has_expected_collectives(eight_devices):
     tmesh = make_mesh({"data": 2, "space": 2, "model": 2})
     clf = ConvClassifier(n_outputs=4, features=(8, 16), dtype=jnp.bfloat16)
