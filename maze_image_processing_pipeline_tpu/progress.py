@@ -1,12 +1,21 @@
 """Rate/ETA progress logging for non-TTY runs.
 
-Capability parity with ``maze_ipp/log_progress.py``: EMA-smoothed processing
-rate, SI/IEC number formatting, interval-gated log lines, and a stream node
-that derives totals from ``n_remaining_hint``.
+Capability parity with ``maze_ipp/log_progress.py`` (interval-gated log
+lines with rate + ETA, SI/IEC number formatting, a stream node deriving
+totals from ``n_remaining_hint``), re-designed around a **sliding-window
+rate estimator**: instead of smoothing per-interval rates with an EMA,
+``ProgressLogger`` keeps a deque of recent ``(monotonic_time, count)``
+checkpoints and reports the exact average rate over the trailing
+``window`` seconds. That makes the displayed rate directly interpretable
+("what happened in the last N minutes"), immune to the first-items
+warm-up skewing the estimate (old checkpoints simply age out — the
+problem the reference handled with ``smoothing_min_n_done``), and
+monotonic-clock-safe under NTP steps.
 """
 
 from __future__ import annotations
 
+import collections
 import logging
 import time
 from typing import Optional
@@ -46,7 +55,19 @@ def format_interval(t: float) -> str:
 
 
 class ProgressLogger:
-    """Log items/sec + ETA at a fixed interval with EMA rate smoothing."""
+    """Log items/sec + ETA at a fixed interval from a sliding-rate window.
+
+    Args:
+        description: prefix for every log line.
+        n_total: total item count (enables percent + ETA); may be updated
+            on the fly via the attribute.
+        log_interval: seconds between log lines (0 = every update).
+        unit: item unit shown after the rate.
+        number_format: 'si', 'iec', or None (plain).
+        window: trailing seconds the rate is averaged over. The window
+            also absorbs slow warm-up items: once they age out they no
+            longer bias the estimate.
+    """
 
     def __init__(
         self,
@@ -56,69 +77,91 @@ class ProgressLogger:
         log_interval: float = 60,
         unit: str = "it",
         number_format: Optional[str] = "si",
-        smoothing: float = 0.5,
-        ema_warmup_count: float = 0,
+        window: float = 300.0,
     ) -> None:
-        if smoothing <= 0.0 or smoothing > 1.0:
-            raise ValueError(f"smoothing must be in (0, 1], got {smoothing}")
+        if window <= 0:
+            raise ValueError(f"window must be positive, got {window}")
         self.description = description
         self.n_total = n_total
         self.log_interval = log_interval
         self.unit = unit
         self.number_format = number_format
-        self.smoothing = smoothing
-        self.ema_warmup_count = ema_warmup_count
+        self.window = window
 
         self.n_done = 0
-        self.t_last_update = time.time()
-        self.elapsed = 0.0
-        self._last_emit_t: Optional[float] = None
-        self._count_at_emit = 0
-        self._ema_rate: Optional[float] = None
+        self._t0 = time.monotonic()
+        # (t, n_done) checkpoints spanning at most `window` seconds.
+        self._checkpoints = collections.deque([(self._t0, 0)])
+        self._t_next_log = self._t0  # first update may log immediately
+
+    # -- rate model ---------------------------------------------------------
+
+    def _observe(self, n: int, now: float) -> None:
+        self.n_done += n
+        cp = self._checkpoints
+        cp.append((now, self.n_done))
+        horizon = now - self.window
+        # Drop the head only while the NEXT entry still covers the full
+        # window (the retained head may straddle the horizon).
+        while len(cp) > 2 and cp[1][0] <= horizon:
+            cp.popleft()
+
+    def rate(self) -> float:
+        """Average items/sec over the trailing window."""
+        (t_old, n_old), (t_new, n_new) = self._checkpoints[0], self._checkpoints[-1]
+        if t_new <= t_old:
+            return 0.0
+        return (n_new - n_old) / (t_new - t_old)
+
+    # -- logging ------------------------------------------------------------
 
     def update(self, n: int = 1) -> None:
-        now = time.time()
-        self.elapsed += now - self.t_last_update
-        self.t_last_update = now
-        self.n_done += n
-
-        if self._last_emit_t is not None and now <= self._last_emit_t + self.log_interval:
+        now = time.monotonic()
+        self._observe(n, now)
+        if now < self._t_next_log:
             return
+        self._t_next_log = now + self.log_interval
+        self._emit(now)
 
-        if self._last_emit_t is None:
-            rate = self.n_done / max(self.elapsed, 1e-9)
-        else:
-            dt = now - self._last_emit_t
-            rate = (self.n_done - self._count_at_emit) / max(dt, 1e-9)
-            if (
-                self._ema_rate is not None
-                and self.n_done >= self.ema_warmup_count
-            ):
-                rate = self.smoothing * self._ema_rate + (1 - self.smoothing) * rate
+    def finish(self) -> None:
+        """Log a final summary line (total, wall time, mean rate)."""
+        now = time.monotonic()
+        elapsed = max(now - self._t0, 1e-9)
+        mean_rate = self.n_done / elapsed
+        msg = (
+            f"done: {format_number(self.n_done, self.number_format)} "
+            f"{self.unit} in {format_interval(elapsed)} "
+            f"({format_number(mean_rate, self.number_format)} {self.unit}/s)"
+        )
+        if self.description:
+            msg = f"{self.description}: {msg}"
+        logger.info(msg)
 
-        self._last_emit_t = now
-        self._count_at_emit = self.n_done
-        self._ema_rate = rate
+    def _emit(self, now: float) -> None:
+        # A sub-second window span (the very first updates) yields a
+        # meaningless extrapolation; show '?' until there is signal.
+        span = self._checkpoints[-1][0] - self._checkpoints[0][0]
+        rate = self.rate() if span >= 1.0 else 0.0
+        elapsed = now - self._t0
+        done_s = format_number(self.n_done, self.number_format)
+        rate_s = (
+            f"{format_number(rate, self.number_format)} {self.unit}/s"
+            if rate > 0
+            else f"? {self.unit}/s"
+        )
 
-        parts = []
         if self.n_total:
-            remaining = max(self.n_total - self.n_done, 0) / max(rate, 1e-9)
-            parts.append(
-                f"{format_number(self.n_done, self.number_format)} / "
-                f"{format_number(self.n_total, self.number_format)}"
+            pct = self.n_done / self.n_total
+            left = max(self.n_total - self.n_done, 0)
+            eta_s = format_interval(left / rate) if rate > 0 else "?"
+            total_s = format_number(self.n_total, self.number_format)
+            msg = (
+                f"{done_s}/{total_s} ({pct:.1%}) | {rate_s} | "
+                f"{format_interval(elapsed)} elapsed, {eta_s} left"
             )
-            parts.append(f"{self.n_done / self.n_total:.2%}")
-            parts.append(f"{format_interval(self.elapsed)} + {format_interval(remaining)}")
         else:
-            parts.append(f"{format_number(self.n_done, self.number_format)} / ?")
-            parts.append(format_interval(self.elapsed))
+            msg = f"{done_s}/? | {rate_s} | {format_interval(elapsed)} elapsed"
 
-        if rate >= 1 or rate <= 0:
-            parts.append(f"{format_number(rate, self.number_format)}{self.unit}/s")
-        else:
-            parts.append(f"{1 / rate:.2f}s/{self.unit}")
-
-        msg = ", ".join(parts)
         if self.description:
             msg = f"{self.description}: {msg}"
         logger.info(msg)
@@ -134,15 +177,13 @@ class LogProgress(Node):
         log_interval: float = 60,
         unit: str = "it",
         number_format: Optional[str] = "si",
-        smoothing: float = 0.5,
-        ema_warmup_count: float = 0,
+        window: float = 300.0,
     ) -> None:
         self.description = description
         self.log_interval = log_interval
         self.unit = unit
         self.number_format = number_format
-        self.smoothing = smoothing
-        self.ema_warmup_count = ema_warmup_count
+        self.window = window
         super().__init__()
 
     def transform_stream(self, stream: Stream) -> Stream:
@@ -150,8 +191,7 @@ class LogProgress(Node):
             log_interval=self.log_interval,
             unit=self.unit,
             number_format=self.number_format,
-            smoothing=self.smoothing,
-            ema_warmup_count=self.ema_warmup_count,
+            window=self.window,
         )
         with closing_if_closable(stream):
             for n_processed, obj in enumerate(stream):
@@ -162,3 +202,4 @@ class LogProgress(Node):
                     plog.n_total = n_processed + obj.n_remaining_hint
                 plog.update()
                 yield obj
+        plog.finish()

@@ -2,6 +2,7 @@ import logging
 import os
 
 import numpy as np
+import pytest
 
 from maze_image_processing_pipeline_tpu.engine import Call, Pipeline, Unpack
 from maze_image_processing_pipeline_tpu.loki.zoomie import StoreDupsets
@@ -47,6 +48,36 @@ class TestProgress:
             for _ in range(3):
                 plog.update()
         assert any("test" in r.message for r in caplog.records)
+
+    def test_sliding_window_rate(self, monkeypatch):
+        """rate() averages over the trailing window only: old checkpoints
+        age out (slow warm-up no longer biases the estimate) and the
+        retained head may straddle the horizon."""
+        import maze_image_processing_pipeline_tpu.progress as prog
+
+        t = [0.0]
+        monkeypatch.setattr(prog.time, "monotonic", lambda: t[0])
+        p = prog.ProgressLogger(log_interval=1e9, window=10.0)
+        # slow phase: 1 item / 5 s
+        for _ in range(4):
+            t[0] += 5.0
+            p.update(1)
+        # fast phase: 10 items / s for 10 s -> window now covers only this
+        for _ in range(10):
+            t[0] += 1.0
+            p.update(10)
+        assert p.rate() == pytest.approx(10.0, rel=0.15)
+        # head of the deque is at most one checkpoint older than horizon
+        assert p._checkpoints[1][0] > t[0] - 10.0
+
+    def test_finish_logs_summary(self, caplog):
+        plog = ProgressLogger(description="haul", log_interval=1e9)
+        with caplog.at_level(logging.INFO):
+            plog.update(5)
+            plog.finish()
+        assert any(
+            "done" in r.message and "haul" in r.message for r in caplog.records
+        )
 
     def test_log_progress_node(self, caplog):
         with Pipeline() as p:
