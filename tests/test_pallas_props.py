@@ -58,3 +58,38 @@ def test_pallas_remove_small_matches_xla(rng):
     )
     np.testing.assert_array_equal(np.asarray(a_lab), np.asarray(b_lab))
     np.testing.assert_array_equal(np.asarray(a_n), np.asarray(b_n))
+
+
+def test_pallas_histogram_matches_xla(rng):
+    """region_histogram_pallas == regionprops_fused's histogram, incl. the
+    padded-rows correction on a non-multiple-of-tile_rows height."""
+    from maze_image_processing_pipeline_tpu.ops.pallas_hist import (
+        region_histogram_pallas,
+    )
+
+    masks = np.stack(
+        [
+            ndi.binary_dilation(rng.random((44, 128)) < 0.06, iterations=2)
+            for _ in range(3)
+        ]
+    )
+    inten = (rng.random(masks.shape) * 255).astype(np.uint8)
+    labels, _ = label_mod.label(masks, connectivity=2)
+
+    ref = np.asarray(regionprops_fused(labels, inten, num_segments=16)["histogram"])
+    got = np.asarray(
+        region_histogram_pallas(
+            labels, inten, num_segments=16, tile_rows=8, interpret=True
+        )
+    )
+    # Foreground regions must match the XLA oracle exactly.
+    np.testing.assert_array_equal(got[:, 1:], ref[:, 1:])
+    # The background row differs BY DESIGN at [0, 0]: the XLA version's
+    # row-chunk padding leaks into its hist[0, 0] (documented harmless);
+    # the kernel subtracts its own padding, so check against numpy truth.
+    lab_np = np.asarray(labels)
+    for b in range(lab_np.shape[0]):
+        true0 = np.bincount(
+            inten[b][lab_np[b] == 0].ravel(), minlength=256
+        ).astype(np.float64)
+        np.testing.assert_array_equal(got[b, 0], true0)

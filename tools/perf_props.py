@@ -138,6 +138,26 @@ def main() -> None:
                     ),
                 )
 
+    # Pallas MXU histogram: one-hots built in VMEM, never in HBM.
+    for th in (8, 16):
+        name = f"histpallas{th}"
+        if want(name):
+            from maze_image_processing_pipeline_tpu.ops.pallas_hist import (
+                region_histogram_pallas,
+            )
+
+            def f(im, lab, th=th):
+                return jnp.sum(
+                    region_histogram_pallas(
+                        lab, im, num_segments=NUM_SEGMENTS, tile_rows=th
+                    )
+                )
+
+            try:
+                report(name, time_loop(f, x, aux=labels_fixed))
+            except Exception as e:
+                print(f"{name} FAILED: {str(e)[:200]}", flush=True)
+
     # remove_small_objects: one-hot relabel (current) vs per-pixel table
     # gather. The one-hot costs R=256 compare+select per pixel; the gather
     # is one dynamic index into a 256-entry table (regionprops_fused already
