@@ -55,8 +55,41 @@ def _hist_kernel(lab_ref, bins_ref, out_ref, *, num_segments: int):
     )
 
 
+def _hist_kernel_skip(lab_ref, bins_ref, out_ref, gbins_ref, *, num_segments: int):
+    """Background-skip variant: the (R, P)×(P, 256) dot runs only on strips
+    containing foreground; every strip accumulates the cheap global bin
+    histogram (a column reduce), from which the caller reconstructs the
+    background row exactly (hist[0] = global − Σ_{r≥1} hist[r])."""
+    s = pl.program_id(1)
+
+    @pl.when(s == 0)
+    def _init():
+        out_ref[:] = jnp.zeros_like(out_ref)
+        gbins_ref[:] = jnp.zeros_like(gbins_ref)
+
+    lab = lab_ref[0].reshape(-1)
+    bins = bins_ref[0].reshape(-1)
+    P = lab.shape[0]
+    c_ids = jax.lax.broadcasted_iota(jnp.int32, (P, 256), 1)
+    b_oh = (bins[:, None] == c_ids).astype(jnp.float32)  # (P, 256)
+    # Pixels with label >= R are dropped by the contraction (their one-hot
+    # row does not exist); exclude them from the global count too, or they
+    # would inflate the reconstructed background row.
+    in_range = (lab < num_segments).astype(jnp.float32)
+    gbins_ref[0] += jnp.sum(b_oh * in_range[:, None], axis=0)
+
+    @pl.when(jnp.max(lab) > 0)
+    def _fg():
+        r_ids = jax.lax.broadcasted_iota(jnp.int32, (num_segments, P), 0)
+        l_oh = (lab[None, :] == r_ids).astype(jnp.bfloat16)
+        out_ref[0] += jax.lax.dot(
+            l_oh, b_oh.astype(jnp.bfloat16), preferred_element_type=jnp.float32
+        )
+
+
 @functools.partial(
-    jax.jit, static_argnames=("num_segments", "tile_rows", "interpret")
+    jax.jit,
+    static_argnames=("num_segments", "tile_rows", "skip_empty", "interpret"),
 )
 def region_histogram_pallas(
     labels: jnp.ndarray,
@@ -64,13 +97,16 @@ def region_histogram_pallas(
     *,
     num_segments: int,
     tile_rows: int = 8,
+    skip_empty: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """(B, H, W) int labels + uint8-range intensity → (B, R, 256) counts.
 
     ``tile_rows`` rows per MXU contraction strip (VMEM: the two one-hots
     are ``tile_rows·W·(R+256)·2`` bytes — 5 MB at the 8×1024 default).
-    H must be divisible by ``tile_rows`` after the internal pad.
+    ``skip_empty`` runs the full contraction only on strips containing
+    foreground (LOKI frames are mostly background) and reconstructs the
+    background row exactly from a per-strip global bin histogram.
     """
     B, H, W = labels.shape
     R = num_segments
@@ -85,19 +121,40 @@ def region_histogram_pallas(
     bins = jnp.clip(intensity.astype(jnp.float32), 0, 255).astype(jnp.int32)
 
     strip = lambda b, s: (b, s, 0)  # noqa: E731
-    hist = pl.pallas_call(
-        functools.partial(_hist_kernel, num_segments=R),
-        grid=(B, n_strips),
-        in_specs=[
-            pl.BlockSpec((1, TH, W), strip, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TH, W), strip, memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, R, 256), lambda b, s: (b, 0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((B, R, 256), jnp.float32),
-        interpret=interpret,
-    )(labels, bins)
+    in_specs = [
+        pl.BlockSpec((1, TH, W), strip, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, TH, W), strip, memory_space=pltpu.VMEM),
+    ]
+    hist_spec = pl.BlockSpec(
+        (1, R, 256), lambda b, s: (b, 0, 0), memory_space=pltpu.VMEM
+    )
+    if skip_empty:
+        hist, gbins = pl.pallas_call(
+            functools.partial(_hist_kernel_skip, num_segments=R),
+            grid=(B, n_strips),
+            in_specs=in_specs,
+            out_specs=[
+                hist_spec,
+                pl.BlockSpec(
+                    (1, 256), lambda b, s: (b, 0), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((B, R, 256), jnp.float32),
+                jax.ShapeDtypeStruct((B, 256), jnp.float32),
+            ],
+            interpret=interpret,
+        )(labels, bins)
+        hist = hist.at[:, 0].set(gbins - jnp.sum(hist[:, 1:], axis=1))
+    else:
+        hist = pl.pallas_call(
+            functools.partial(_hist_kernel, num_segments=R),
+            grid=(B, n_strips),
+            in_specs=in_specs,
+            out_specs=hist_spec,
+            out_shape=jax.ShapeDtypeStruct((B, R, 256), jnp.float32),
+            interpret=interpret,
+        )(labels, bins)
     if H_pad != H:
         pad_px = (H_pad - H) * W
         hist = hist.at[:, 0, 0].add(-float(pad_px))

@@ -84,6 +84,15 @@ def test_pallas_histogram_matches_xla(rng):
     )
     # Foreground regions must match the XLA oracle exactly.
     np.testing.assert_array_equal(got[:, 1:], ref[:, 1:])
+    # skip_empty (bg-strip skip + exact background reconstruction) must be
+    # bit-identical to the always-contract variant.
+    got_skip = np.asarray(
+        region_histogram_pallas(
+            labels, inten, num_segments=16, tile_rows=8,
+            skip_empty=True, interpret=True,
+        )
+    )
+    np.testing.assert_array_equal(got_skip, got)
     # The background row differs BY DESIGN at [0, 0]: the XLA version's
     # row-chunk padding leaks into its hist[0, 0] (documented harmless);
     # the kernel subtracts its own padding, so check against numpy truth.

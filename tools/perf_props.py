@@ -153,8 +153,17 @@ def main() -> None:
                     )
                 )
 
+            def f_skip(im, lab, th=th):
+                return jnp.sum(
+                    region_histogram_pallas(
+                        lab, im, num_segments=NUM_SEGMENTS, tile_rows=th,
+                        skip_empty=True,
+                    )
+                )
+
             try:
                 report(name, time_loop(f, x, aux=labels_fixed))
+                report(name + "skip", time_loop(f_skip, x, aux=labels_fixed))
             except Exception as e:
                 print(f"{name} FAILED: {str(e)[:200]}", flush=True)
 
