@@ -140,3 +140,72 @@ def test_device_tiled_inference_mesh_matches_single(tmp_path):
     for a, b in zip(single, sharded):
         assert a.shape == b.shape
         np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
+
+
+def test_multihost_shard_union_equals_single_run(tmp_path, model_dir):
+    """input.num_shards strided sample sharding (the multi-host scaling
+    path, parallel/multihost.py): the union of the per-shard runs'
+    archives must equal the unsharded run, byte-for-column."""
+    data_dir = tmp_path / "multi"
+    make_loki_sample(
+        str(data_dir), name="LOKI_00001.01", n_frames=2,
+        objects_per_frame=3, frame_shape=(180, 230), haul="7",
+    )
+    make_loki_sample(
+        str(data_dir), name="LOKI_00002.01", n_frames=2,
+        objects_per_frame=3, frame_shape=(180, 230), haul="8", seed=1,
+    )
+
+    def run(name, num_shards=1, shard_index=0):
+        target_dir = str(tmp_path / name)
+        Runner._configure_and_run(
+            {
+                "input": {
+                    "path": str(data_dir),
+                    "num_shards": num_shards,
+                    "shard_index": shard_index,
+                },
+                "segmentation": {
+                    "jax": {
+                        "model_fn": model_dir,
+                        "dtype": "float32",
+                        "batch_size": 4,
+                        "tile_size": 128,
+                        "tile_stride": 96,
+                        "stitch": True,
+                        "postprocess": {"closing_radius": 2, "min_area": 20,
+                                        "max_regions": 16},
+                        "padding": 10,
+                    }
+                },
+                "postprocess": {},
+                "output": {"target_dir": target_dir},
+            }
+        )
+        return {
+            fn: read_tsv(Archive(os.path.join(target_dir, fn)) / "ecotaxa_export.tsv")
+            for fn in sorted(os.listdir(target_dir))
+            if fn.endswith(".zip") and "input_meta" not in fn
+        }
+
+    single = run("out_all")
+    shard0 = run("out_s0", 2, 0)
+    shard1 = run("out_s1", 2, 1)
+
+    assert len(single) == 2
+    # Disjoint shards covering everything.
+    assert set(shard0) | set(shard1) == set(single)
+    assert not (set(shard0) & set(shard1))
+    for fn, df_ref in single.items():
+        df_shard = (shard0 | shard1)[fn]
+        assert list(df_shard["object_id"]) == list(df_ref["object_id"])
+        for col in df_ref.columns:
+            if col in ("process_datetime", "process_id"):
+                continue
+            a, b = df_shard[col], df_ref[col]
+            if a.dtype.kind == "f":
+                np.testing.assert_allclose(
+                    a.to_numpy(), b.to_numpy(), rtol=1e-6, err_msg=col
+                )
+            else:
+                assert a.tolist() == b.tolist(), col
