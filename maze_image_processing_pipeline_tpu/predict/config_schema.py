@@ -75,7 +75,13 @@ class ModelConfig(BaseModel):
         "tpu", description="Device platform to run the model on ('tpu' or 'cpu')."
     )
     n_threads: int = Field(
-        0, description="Threads for host-side stages. Model execution is device-batched."
+        0,
+        description=(
+            "Threads for host-side stages. Model execution is "
+            "device-batched. Only effective with tiling.device_blend: "
+            "false (the fused device-blend path has no per-object host "
+            "stage to parallelize)."
+        ),
     )
     batch_size: int = Field(0, description="Device batch size.")
     autocast: bool = Field(
