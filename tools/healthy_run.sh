@@ -49,5 +49,8 @@ print(1 if float('$load') < LOAD_S and float('$warm') < WARM_MS else 0)" 2>/dev/
   else
     echo "$(date +%H:%M:%S) probe failed/timed out (tunnel down)"
   fi
-  sleep 240
+  # A timed-out probe is itself an interrupted TPU process, and those
+  # wedge the tunnel for ~30 min (CLAUDE.md) — probing too often can
+  # PERPETUATE an outage. Space attempts ~30 min apart.
+  sleep 900
 done
