@@ -8,11 +8,16 @@ recursive_update) plus in-repo replacements for the external ``natsort`` and
 
 from __future__ import annotations
 
+import fnmatch
+import glob
+import logging
 import re
 import sys
 from typing import Any, Dict, List, Mapping, Optional, Sequence
 
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 __all__ = [
     "find_files_glob",
@@ -31,11 +36,6 @@ def find_files_glob(pattern: str, ignore_patterns=None):
 
     Shared by the loki and predict input builders (the two copies had
     drifted into duplicates)."""
-    import fnmatch
-    import glob
-    import logging
-
-    logger = logging.getLogger(__name__)
     for fn in glob.iglob(pattern):
         if ignore_patterns and any(fnmatch.fnmatch(fn, p) for p in ignore_patterns):
             logger.info("Ignoring %s.", fn)

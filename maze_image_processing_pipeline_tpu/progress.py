@@ -99,7 +99,14 @@ class ProgressLogger:
     def _observe(self, n: int, now: float) -> None:
         self.n_done += n
         cp = self._checkpoints
-        cp.append((now, self.n_done))
+        # Coalesce: merge updates landing within window/128 of the previous
+        # checkpoint into the tail entry, bounding the deque at ~130
+        # entries regardless of update rate (a 1 MHz counter would
+        # otherwise hold rate×window tuples).
+        if len(cp) >= 2 and now - cp[-2][0] < self.window / 128:
+            cp[-1] = (now, self.n_done)
+        else:
+            cp.append((now, self.n_done))
         horizon = now - self.window
         # Drop the head only while the NEXT entry still covers the full
         # window (the retained head may straddle the horizon).
@@ -138,10 +145,10 @@ class ProgressLogger:
         logger.info(msg)
 
     def _emit(self, now: float) -> None:
-        # A sub-second window span (the very first updates) yields a
+        # A near-empty window span (the very first updates) yields a
         # meaningless extrapolation; show '?' until there is signal.
         span = self._checkpoints[-1][0] - self._checkpoints[0][0]
-        rate = self.rate() if span >= 1.0 else 0.0
+        rate = self.rate() if span >= min(1.0, self.window / 2) else 0.0
         elapsed = now - self._t0
         done_s = format_number(self.n_done, self.number_format)
         rate_s = (
@@ -193,13 +200,17 @@ class LogProgress(Node):
             number_format=self.number_format,
             window=self.window,
         )
-        with closing_if_closable(stream):
-            for n_processed, obj in enumerate(stream):
-                description = self.prepare_input(obj, "description")
-                if description is not None:
-                    plog.description = str(description)
-                if obj.n_remaining_hint is not None:
-                    plog.n_total = n_processed + obj.n_remaining_hint
-                plog.update()
-                yield obj
-        plog.finish()
+        try:
+            with closing_if_closable(stream):
+                for n_processed, obj in enumerate(stream):
+                    description = self.prepare_input(obj, "description")
+                    if description is not None:
+                        plog.description = str(description)
+                    if obj.n_remaining_hint is not None:
+                        plog.n_total = n_processed + obj.n_remaining_hint
+                    plog.update()
+                    yield obj
+        finally:
+            # Also on early generator close / mid-stream exceptions: the
+            # summary is the one place totals get logged on non-TTY runs.
+            plog.finish()
