@@ -231,3 +231,21 @@ def test_label_serpentine_convergence():
     assert int(np.asarray(n)) == n_ref == 1
     np.testing.assert_array_equal(np.asarray(lab) > 0, ref > 0)
     assert np.unique(np.asarray(lab)[np.asarray(lab) > 0]).size == 1
+
+
+@pytest.mark.parametrize("seed", [11, 12, 13])
+@pytest.mark.parametrize("density", [0.02, 0.3, 0.6])
+@pytest.mark.parametrize("shape", [(33, 64), (100, 47), (96, 128)])
+@pytest.mark.parametrize("connectivity", [1, 2])
+def test_label_fuzz_matches_scipy(seed, density, shape, connectivity):
+    """Seeded fuzz: raw Bernoulli masks (no dilation smoothing) across odd
+    shapes, densities from sparse specks to near-percolation, both
+    connectivities — the regime where run-merging and fixpoint sweeps are
+    stressed hardest."""
+    rng = np.random.default_rng(seed)
+    mask = rng.random(shape) < density
+    ours, n_ours = label_mod.label(mask[None], connectivity=connectivity)
+    s = ndi.generate_binary_structure(2, connectivity)
+    ref, n_ref = ndi.label(mask, structure=s)
+    assert int(n_ours[0]) == n_ref
+    np.testing.assert_array_equal(np.asarray(ours[0]), ref)
