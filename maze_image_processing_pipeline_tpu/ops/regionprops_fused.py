@@ -176,13 +176,13 @@ def regionprops_fused(
     mu20 = jnp.sum(rowcnt * (hh - cy[:, None, :]) ** 2, axis=1)
     mu02 = jnp.sum(colcnt * (ww - cx[:, None, :]) ** 2, axis=1)
 
-    # Product moment via gathered centroids (cancellation-safe; gather only).
-    flat = lab.reshape(B, H * W)
-    cy_px = jnp.take_along_axis(cy, flat, axis=-1).reshape(B, H, W)
-    cx_px = jnp.take_along_axis(cx, flat, axis=-1).reshape(B, H, W)
-    yy_full = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
-    xx_full = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
-    mu11 = reduce_hw((yy_full - cy_px) * (xx_full - cx_px))
+    # Product moment, separable + cancellation-safe: center x PER PIXEL
+    # against the region's cx (broadcast over the R axis — no per-pixel
+    # centroid gather), row-reduce, then weight rows by (y − cy).
+    # Σ (y−cy)(x−cx) = Σ_y (y−cy) · Σ_{x∈row} (x−cx).
+    xc = ww.reshape(1, 1, W, 1) - cx[:, None, None, :]  # (B, 1, W, R)
+    rowxc = jnp.sum(jnp.where(oh, xc, 0.0), axis=2)  # (B, H, R)
+    mu11 = jnp.sum((hh - cy[:, None, :]) * rowxc, axis=1)
 
     # Bounding boxes from presence.
     row_present = rowcnt > 0
@@ -244,33 +244,7 @@ def regionprops_fused(
         safe_s1 = jnp.where(s1 != 0, s1, 1.0)
         mean = s1 / safe_area
 
-        # Central intensity moments via gathered per-pixel means.
-        mean_px = jnp.take_along_axis(mean, flat, axis=-1).reshape(B, H, W)
-        di = inten - mean_px
-        var = jnp.maximum(reduce_hw(di * di) / safe_area, 0.0)
-        std = jnp.sqrt(var)
-        m3 = reduce_hw(di * di * di) / safe_area
-        m4 = reduce_hw(di * di * di * di) / safe_area
-        # Guard: std**3/std**4 underflow f32 for (near-)constant regions.
-        ok = std > 1e-3
-        std_safe = jnp.where(ok, std, 1.0)
-
-        props.update(
-            intensity_sum=s1,
-            intensity_mean=mean,
-            intensity_std=std,
-            intensity_skew=jnp.where(ok, m3 / std_safe**3, 0.0),
-            intensity_kurtosis=jnp.where(ok, m4 / std_safe**4 - 3.0, 0.0),
-            weighted_centroid_row=reduce_hw(inten * yy_full) / safe_s1,
-            weighted_centroid_col=reduce_hw(inten * xx_full) / safe_s1,
-            intensity_min=jnp.min(
-                jnp.where(oh, inten[..., None], jnp.float32(1e9)), axis=(1, 2)
-            ),
-            intensity_max=jnp.max(
-                jnp.where(oh, inten[..., None], jnp.float32(-1e9)), axis=(1, 2)
-            ),
-        )
-
+        hist = None
         if compute_histogram:
             bins_i = jnp.clip(inten, 0, 255).astype(jnp.int32)
             n_chunks = -(-H // hist_row_chunk)
@@ -281,7 +255,6 @@ def regionprops_fused(
                 if H_pad != H
                 else bins_i
             )
-            # Padding rows are label 0 (background): harmless.
             lab_c = lab_p.reshape(B, n_chunks, hist_row_chunk * W)
             bin_c = bin_p.reshape(B, n_chunks, hist_row_chunk * W)
             bin_range = jnp.arange(256, dtype=jnp.int32)
@@ -307,6 +280,59 @@ def regionprops_fused(
                 hist0,
                 (jnp.moveaxis(lab_c, 1, 0), jnp.moveaxis(bin_c, 1, 0)),
             )
+            if H_pad != H:
+                # Padding rows are label 0 / bin 0: make the background
+                # row exact instead of documenting the leak away (the
+                # hist-derived moments below depend on it).
+                hist = hist.at[:, 0, 0].add(-float((H_pad - H) * W))
             props["histogram"] = hist
+
+        if hist is not None and jnp.issubdtype(intensity.dtype, jnp.integer):
+            # Exact central moments from the integer-bin counts the
+            # histogram already paid for: replaces three O(H·W·R) masked
+            # reduces (di², di³, di⁴), two masked min/max reduces, and the
+            # per-pixel mean gather with O(R·256) post-processing.
+            c_bins = jnp.arange(256, dtype=jnp.float32)
+            d = c_bins[None, None, :] - mean[..., None]  # (B, R, 256)
+            var = jnp.maximum(jnp.sum(hist * d * d, -1) / safe_area, 0.0)
+            m3 = jnp.sum(hist * d**3, -1) / safe_area
+            m4 = jnp.sum(hist * d**4, -1) / safe_area
+            present = hist > 0
+            imin = jnp.min(jnp.where(present, c_bins, jnp.float32(1e9)), -1)
+            imax = jnp.max(jnp.where(present, c_bins, jnp.float32(-1e9)), -1)
+        else:
+            # Float intensities (or no histogram): per-pixel mean-shifted
+            # passes (cancellation-safe; gathers are cheap, scatters not).
+            flat = lab.reshape(B, H * W)
+            mean_px = jnp.take_along_axis(mean, flat, axis=-1).reshape(B, H, W)
+            di = inten - mean_px
+            var = jnp.maximum(reduce_hw(di * di) / safe_area, 0.0)
+            m3 = reduce_hw(di * di * di) / safe_area
+            m4 = reduce_hw(di * di * di * di) / safe_area
+            imin = jnp.min(
+                jnp.where(oh, inten[..., None], jnp.float32(1e9)), axis=(1, 2)
+            )
+            imax = jnp.max(
+                jnp.where(oh, inten[..., None], jnp.float32(-1e9)), axis=(1, 2)
+            )
+
+        std = jnp.sqrt(var)
+        # Guard: std**3/std**4 underflow f32 for (near-)constant regions.
+        ok = std > 1e-3
+        std_safe = jnp.where(ok, std, 1.0)
+
+        yy_full = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+        xx_full = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+        props.update(
+            intensity_sum=s1,
+            intensity_mean=mean,
+            intensity_std=std,
+            intensity_skew=jnp.where(ok, m3 / std_safe**3, 0.0),
+            intensity_kurtosis=jnp.where(ok, m4 / std_safe**4 - 3.0, 0.0),
+            weighted_centroid_row=reduce_hw(inten * yy_full) / safe_s1,
+            weighted_centroid_col=reduce_hw(inten * xx_full) / safe_s1,
+            intensity_min=imin,
+            intensity_max=imax,
+        )
 
     return {k: v.reshape(batch_shape + v.shape[1:]) for k, v in props.items()}

@@ -75,3 +75,30 @@ def test_fused_without_intensity(rng):
         np.asarray(ref["perimeter"])[1 : k + 1],
         rtol=1e-4,
     )
+
+
+def test_float_intensity_falls_back_to_per_pixel_moments(rng):
+    """Non-integer intensities cannot use the histogram-derived central
+    moments (the 256-bin quantization would bias them): the per-pixel
+    mean-shifted path must produce the same statistics as the integer
+    image's exact values when the float image IS integral, and reasonable
+    moments for truly fractional data."""
+    mask = np.zeros((40, 64), bool)
+    mask[8:20, 10:30] = True
+    labels = mask.astype(np.int32)[None]
+    inten_u8 = (rng.random((40, 64)) * 255).astype(np.uint8)
+    inten_f = inten_u8.astype(np.float32)
+
+    a = regionprops_fused(labels, inten_u8[None], num_segments=4)
+    b = regionprops_fused(labels, inten_f[None], num_segments=4)
+    for k in (
+        "intensity_std",
+        "intensity_skew",
+        "intensity_kurtosis",
+        "intensity_min",
+        "intensity_max",
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a[k])[0, 1], np.asarray(b[k])[0, 1], rtol=1e-4,
+            err_msg=k,
+        )

@@ -82,8 +82,9 @@ def test_pallas_histogram_matches_xla(rng):
             labels, inten, num_segments=16, tile_rows=8, interpret=True
         )
     )
-    # Foreground regions must match the XLA oracle exactly.
-    np.testing.assert_array_equal(got[:, 1:], ref[:, 1:])
+    # Full equality: both versions now correct their padding artifacts, so
+    # the background row matches too.
+    np.testing.assert_array_equal(got, ref)
     # skip_empty (bg-strip skip + exact background reconstruction) must be
     # bit-identical to the always-contract variant.
     got_skip = np.asarray(
@@ -93,9 +94,8 @@ def test_pallas_histogram_matches_xla(rng):
         )
     )
     np.testing.assert_array_equal(got_skip, got)
-    # The background row differs BY DESIGN at [0, 0]: the XLA version's
-    # row-chunk padding leaks into its hist[0, 0] (documented harmless);
-    # the kernel subtracts its own padding, so check against numpy truth.
+    # Background row against numpy ground truth (both implementations
+    # subtract their internal padding, so this is exact).
     lab_np = np.asarray(labels)
     for b in range(lab_np.shape[0]):
         true0 = np.bincount(
