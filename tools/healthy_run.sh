@@ -13,7 +13,10 @@ probe() {
   # One fresh tiny program + 10 warm dispatches; prints "load_s warm_ms".
   # Single source of probe logic + thresholds: tools/tunnel_watch.py.
   # tail -1 guards against stray stdout lines from libraries.
-  timeout 900 python -u tools/tunnel_watch.py --once 2>/dev/null | tail -1
+  # 35 min cap: the observed outage mode blocks backend init ~30 min
+  # before resolving (UNAVAILABLE or success) — a shorter timeout kills
+  # inits that would have connected.
+  timeout 2100 python -u tools/tunnel_watch.py --once 2>/dev/null | tail -1
 }
 
 echo "$(date +%H:%M:%S) orchestrator start"
