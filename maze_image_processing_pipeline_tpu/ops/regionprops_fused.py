@@ -125,7 +125,7 @@ def regionprops_fused(
     *,
     num_segments: int,
     compute_histogram: bool = True,
-    hist_row_chunk: int = 128,
+    hist_row_chunk: int = 512,
     n_feret_angles: int = 16,
     return_row_extremes: bool = False,
 ) -> Dict[str, jnp.ndarray]:
@@ -247,16 +247,20 @@ def regionprops_fused(
         hist = None
         if compute_histogram:
             bins_i = jnp.clip(inten, 0, 255).astype(jnp.int32)
-            n_chunks = -(-H // hist_row_chunk)
-            H_pad = n_chunks * hist_row_chunk
+            # Clamp the chunk to H so small crops don't pad up to a full
+            # chunk; 512 beat 128 by ~30% at (8, 1024, 1024) on v5e
+            # (tools/perf_props.py chunk sweep, BASELINE.md round 3).
+            chunk = min(hist_row_chunk, H)
+            n_chunks = -(-H // chunk)
+            H_pad = n_chunks * chunk
             lab_p = jnp.pad(lab, ((0, 0), (0, H_pad - H), (0, 0))) if H_pad != H else lab
             bin_p = (
                 jnp.pad(bins_i, ((0, 0), (0, H_pad - H), (0, 0)))
                 if H_pad != H
                 else bins_i
             )
-            lab_c = lab_p.reshape(B, n_chunks, hist_row_chunk * W)
-            bin_c = bin_p.reshape(B, n_chunks, hist_row_chunk * W)
+            lab_c = lab_p.reshape(B, n_chunks, chunk * W)
+            bin_c = bin_p.reshape(B, n_chunks, chunk * W)
             bin_range = jnp.arange(256, dtype=jnp.int32)
 
             def body(acc, xs):

@@ -63,6 +63,14 @@ def main() -> None:
     t0 = time.time()
     dev = jax.devices()[0]
     init_s = time.time() - t0
+    if dev.platform == "cpu":
+        # Silent CPU fallback would mimic a perfectly healthy tunnel
+        # (sub-second load, ~0 ms warm). Report as unhealthy instead.
+        print("jax fell back to CPU — no TPU behind the tunnel", file=sys.stderr)
+        if args.once:
+            print("9999.0 9999.0", flush=True)
+            return
+        return 1
     x = jnp.ones((256, 256))
     k = int(time.time()) % 100000
 
