@@ -357,7 +357,46 @@ def _make_frame_chain(
     ``area_filled_ambiguous`` flag) from one frame-level background-CCL
     pass (:func:`..ops.fill_holes.region_filled_extra`), replacing the
     reference's per-crop ``binary_fill_holes``.
+
+    The (chain, pack_keys) pair is memoized process-wide on the
+    trace-relevant config (:mod:`..jit_cache`): a service that runs many
+    task files would otherwise re-pay the remote executable LOAD for the
+    heaviest program in the pipeline on every run.
     """
+    import jax
+
+    from ..jit_cache import get_program
+
+    use_pallas = cfg.pallas_kernels and jax.default_backend() == "tpu"
+    key = (
+        "loki_frame_chain",
+        cfg.opening_radius,
+        cfg.closing_radius,
+        cfg.clear_border,
+        cfg.min_area,
+        cfg.max_regions,
+        use_pallas,
+        include_labels,
+        compute_filled,
+    )
+    return get_program(
+        key,
+        lambda: _build_frame_chain(
+            cfg,
+            use_pallas=use_pallas,
+            include_labels=include_labels,
+            compute_filled=compute_filled,
+        ),
+    )
+
+
+def _build_frame_chain(
+    cfg: SegmentationPostprocessingConfig,
+    *,
+    use_pallas: bool,
+    include_labels: bool,
+    compute_filled: bool,
+):
     import jax
     import jax.numpy as jnp
 
@@ -366,18 +405,17 @@ def _make_frame_chain(
     from ..ops.fill_holes import region_filled_extra
     from ..ops.regionprops_fused import regionprops_fused
 
-    # The Pallas CCL lane scans are the fastest steady-state chain
-    # (round-3 perf_lab: 22.3 vs 37.8 ms/batch with the XLA scans), but
-    # each pallas_call instance costs a Mosaic kernel compilation at trace
-    # time (~45 s through this host's remote tunnel, uncacheable) —
-    # streaming runs that trace once per process default to the pure-XLA
-    # formulations. Opt in via cfg.pallas_kernels. Region measurement
-    # always uses the XLA one-hot formulation: the Pallas props kernel
-    # pays a 4×-lane-padding tax and lost its round-2 advantage after the
-    # lowering fixes (43.6 vs 22.3 ms/batch composed; BASELINE.md round-3,
-    # kept as a negative result like models/pallas_norm.py).
-    use_pallas = cfg.pallas_kernels and jax.default_backend() == "tpu"
-
+    # use_pallas (resolved by the caller): the Pallas CCL lane scans are
+    # the fastest steady-state chain (round-3 perf_lab: 22.3 vs 37.8
+    # ms/batch with the XLA scans), but each pallas_call instance costs a
+    # Mosaic kernel compilation at trace time (~45 s through this host's
+    # remote tunnel, uncacheable) — streaming runs that trace once per
+    # process default to the pure-XLA formulations. Opt in via
+    # cfg.pallas_kernels. Region measurement always uses the XLA one-hot
+    # formulation: the Pallas props kernel pays a 4×-lane-padding tax and
+    # lost its round-2 advantage after the lowering fixes (43.6 vs 22.3
+    # ms/batch composed; BASELINE.md round-3, kept as a negative result
+    # like models/pallas_norm.py).
     pack_keys: list = []
 
     @jax.jit
@@ -500,6 +538,58 @@ def _finalize_frame(labels, n, props, post_cfg):
     return labels, props, n
 
 
+def _build_loki_blend(Hp: int, Wp: int, ts: int, B: int, wt):
+    """The jitted tile→frame blend for one (bucket, tile, frame-group)
+    shape combination; see ``DeviceTiledSegmentation._build``."""
+    import jax
+    import jax.numpy as jnp
+
+    def edge_zero(pred, hs, ws):
+        # The model may score the zero padding above 0.5; frame b ends
+        # at (hs[b], ws[b]).
+        rows = jax.lax.broadcasted_iota(jnp.int32, (Hp, Wp), 0)[None]
+        cols = jax.lax.broadcasted_iota(jnp.int32, (Hp, Wp), 1)[None]
+        valid = (rows < hs[:, None, None]) & (cols < ws[:, None, None])
+        return jnp.where(valid, pred, 0.0)
+
+    @jax.jit
+    def blend(pred_chunks, tb, ty, tx, n_occ, hs, ws):
+        # Tuple of (bs, ts, ts) prediction chunks of the occupied
+        # tiles, blended at dynamic offsets; pad jobs carry zero
+        # weight. Pixels covered only by skipped (empty) tiles keep
+        # wsum 0 → pred 0, matching the host path's skip-empty Filter
+        # semantics (reference loki/pipeline.py:518). Taking the
+        # chunks as a pytree argument (instead of an eager
+        # concatenate) avoids an extra device program; the heavy
+        # postprocess chain stays its own single program (one load)
+        # while this small blend re-specializes per tile-count rung.
+        pred_t = jnp.concatenate(pred_chunks, axis=0)
+        canvas = jnp.zeros((B, Hp, Wp), jnp.float32)
+        wsum = jnp.zeros((B, Hp, Wp), jnp.float32)
+
+        def body(i, cw):
+            canvas, wsum = cw
+            b, y, x = tb[i], ty[i], tx[i]
+            w = jnp.where(i < n_occ, wt, np.float32(0.0))
+            cs = jax.lax.dynamic_slice(canvas, (b, y, x), (1, ts, ts))[0]
+            vs = jax.lax.dynamic_slice(wsum, (b, y, x), (1, ts, ts))[0]
+            canvas = jax.lax.dynamic_update_slice(
+                canvas, (cs + pred_t[i] * w)[None], (b, y, x)
+            )
+            wsum = jax.lax.dynamic_update_slice(
+                wsum, (vs + w)[None], (b, y, x)
+            )
+            return canvas, wsum
+
+        canvas, wsum = jax.lax.fori_loop(
+            0, pred_t.shape[0], body, (canvas, wsum)
+        )
+        pred = canvas / jnp.maximum(wsum, 1.0)
+        return edge_zero(pred, hs, ws)
+
+    return blend
+
+
 @ReturnOutputs
 class DeviceTiledSegmentation(Node):
     """Fused tile inference → on-device linear blend → frame postprocess.
@@ -568,16 +658,30 @@ class DeviceTiledSegmentation(Node):
         """One jitted model forward shared across all frames/chunks."""
         if getattr(self, "_infer", None) is None:
             import jax
-            import jax.numpy as jnp
 
-            from ..models.inference import default_device_pre
+            from ..jit_cache import get_program
 
-            apply_fn = self._model.apply
-            @jax.jit
-            def infer_p(params, tiles_u8):  # (bs, ts, ts) uint8
-                x = default_device_pre(tiles_u8)
-                y = jax.nn.sigmoid(apply_fn(params, x))
-                return y[..., 0].astype(jnp.float32)
+            def build_infer():
+                import jax.numpy as jnp
+
+                from ..models.inference import default_device_pre
+
+                apply_fn = self._model.apply
+
+                @jax.jit
+                def infer_p(params, tiles_u8):  # (bs, ts, ts) uint8
+                    x = default_device_pre(tiles_u8)
+                    y = jax.nn.sigmoid(apply_fn(params, x))
+                    return y[..., 0].astype(jnp.float32)
+
+                return infer_p
+
+            # flax modules hash by architecture config, so re-running the
+            # same task file reuses the loaded U-Net executable
+            # (jit_cache docstring; params stay per-instance arguments).
+            infer_p = get_program(
+                ("loki_infer_sigmoid_f32", self._model.module), build_infer
+            )
 
             # Params as jit ARGUMENT (closures embed device constants that
             # are fetched back at every lowering — BASELINE.md round-2),
@@ -643,48 +747,15 @@ class DeviceTiledSegmentation(Node):
 
         B = self._frame_batch
 
-        def edge_zero(pred, hs, ws):
-            # The model may score the zero padding above 0.5; frame b ends
-            # at (hs[b], ws[b]).
-            rows = jax.lax.broadcasted_iota(jnp.int32, (Hp, Wp), 0)[None]
-            cols = jax.lax.broadcasted_iota(jnp.int32, (Hp, Wp), 1)[None]
-            valid = (rows < hs[:, None, None]) & (cols < ws[:, None, None])
-            return jnp.where(valid, pred, 0.0)
+        from ..jit_cache import get_program
 
-        @jax.jit
-        def blend(pred_chunks, tb, ty, tx, n_occ, hs, ws):
-            # Tuple of (bs, ts, ts) prediction chunks of the occupied
-            # tiles, blended at dynamic offsets; pad jobs carry zero
-            # weight. Pixels covered only by skipped (empty) tiles keep
-            # wsum 0 → pred 0, matching the host path's skip-empty Filter
-            # semantics (reference loki/pipeline.py:518). Taking the
-            # chunks as a pytree argument (instead of an eager
-            # concatenate) avoids an extra device program; the heavy
-            # postprocess chain stays its own single program (one load)
-            # while this small blend re-specializes per tile-count rung.
-            pred_t = jnp.concatenate(pred_chunks, axis=0)
-            canvas = jnp.zeros((B, Hp, Wp), jnp.float32)
-            wsum = jnp.zeros((B, Hp, Wp), jnp.float32)
+        def build_blend():
+            return _build_loki_blend(Hp, Wp, ts, B, wt)
 
-            def body(i, cw):
-                canvas, wsum = cw
-                b, y, x = tb[i], ty[i], tx[i]
-                w = jnp.where(i < n_occ, wt, np.float32(0.0))
-                cs = jax.lax.dynamic_slice(canvas, (b, y, x), (1, ts, ts))[0]
-                vs = jax.lax.dynamic_slice(wsum, (b, y, x), (1, ts, ts))[0]
-                canvas = jax.lax.dynamic_update_slice(
-                    canvas, (cs + pred_t[i] * w)[None], (b, y, x)
-                )
-                wsum = jax.lax.dynamic_update_slice(
-                    wsum, (vs + w)[None], (b, y, x)
-                )
-                return canvas, wsum
-
-            canvas, wsum = jax.lax.fori_loop(
-                0, pred_t.shape[0], body, (canvas, wsum)
-            )
-            pred = canvas / jnp.maximum(wsum, 1.0)
-            return edge_zero(pred, hs, ws)
+        # Memoized process-wide: the blend closes over nothing but these
+        # scalars + the host weight window, so re-running a task reuses
+        # the loaded executables per tile-count rung (jit_cache).
+        blend = get_program(("loki_blend", Hp, Wp, ts, B), build_blend)
 
         def fn(frames_dev, tiles_host, occ, hs, ws, device=None):
             # tiles_host: (Ncap, ts, ts) uint8 numpy, Ncap a multiple of

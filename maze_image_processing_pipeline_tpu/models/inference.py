@@ -142,27 +142,47 @@ class JaxInference(Node):
         # as MLIR constants and device-resident ones are fetched back to
         # host during every lowering (seconds per leaf through this host's
         # tunnel — BASELINE.md round-2 findings).
-        @jax.jit
-        def step(params, x):
-            if device_pre_ is not None:
-                x = device_pre_(x)
-            y = apply_fn(params, x)
-            if output_key_ is not None:
-                y = y[output_key_]
-            if device_post_ is not None:
-                y = device_post_(y)
-            if transfer_dtype_ is not None:
-                # Shrink the device→host fetch (tunneled hosts move ~16 MB/s;
-                # f16 halves the dominant e2e cost — BASELINE.md).
-                y = jax.tree_util.tree_map(
-                    lambda a: a.astype(transfer_dtype_)
-                    if jnp.issubdtype(a.dtype, jnp.floating)
-                    else a,
-                    y,
-                )
-            return y
+        def build_step():
+            @jax.jit
+            def step(params, x):
+                if device_pre_ is not None:
+                    x = device_pre_(x)
+                y = apply_fn(params, x)
+                if output_key_ is not None:
+                    y = y[output_key_]
+                if device_post_ is not None:
+                    y = device_post_(y)
+                if transfer_dtype_ is not None:
+                    # Shrink the device→host fetch (tunneled hosts move
+                    # ~16 MB/s; f16 halves the dominant e2e cost —
+                    # BASELINE.md).
+                    y = jax.tree_util.tree_map(
+                        lambda a: a.astype(transfer_dtype_)
+                        if jnp.issubdtype(a.dtype, jnp.floating)
+                        else a,
+                        y,
+                    )
+                return y
 
-        self._step = step
+            return step
+
+        # Memoized process-wide on the trace-relevant config (flax modules
+        # hash by architecture), so a service running many task files
+        # reuses the loaded forward executable (jit_cache docstring).
+        # Custom unhashable hooks fall back to an uncached build.
+        from ..jit_cache import get_program
+
+        self._step = get_program(
+            (
+                "jax_inference_step",
+                model.module,
+                output_key,
+                device_pre,
+                device_post,
+                transfer_dtype,
+            ),
+            build_step,
+        )
         self._params = params
         # In is_batch mode the bucket is learned from the first group so the
         # tail (partial) BatchedPipeline group pads instead of recompiling.
@@ -250,6 +270,59 @@ class JaxInference(Node):
                 yield from flush_one()
 
 
+def _build_tiled_blend(Hb: int, Wb: int, ts: int, transfer_dtype):
+    """Blend program for one shape bucket (auto-specialized on the
+    job-count ladder via input shapes). Tiles are cut on the HOST and
+    uploaded per forward chunk: the dominant per-process tunnel cost
+    is LOADING each compiled executable onto the remote device
+    (BASELINE.md round-3 finding), so DeviceTiledInference keeps exactly
+    two device programs — the shared model forward and this blend."""
+    from ..engine.tiles import _linear_weight
+
+    wt = _linear_weight(ts, ts)  # numpy host constant
+
+    @functools.partial(jax.jit, static_argnames=("Bo",))
+    def blend(pred_chunks, tb, ty, tx, n_jobs, *, Bo):
+        # Tuple of (bs, ts, ts, Cout) chunks → (Bo, Hb, Wb, Cout)
+        # flat: accumulate at dynamic offsets; pad jobs carry zero
+        # weight. Chunks ride in as a pytree so no extra concatenate
+        # program is dispatched.
+        pred_t = jnp.concatenate(pred_chunks, axis=0)
+        Cout = pred_t.shape[-1]
+        canvas = jnp.zeros((Bo, Hb, Wb, Cout), jnp.float32)
+        wsum = jnp.zeros((Bo, Hb, Wb, 1), jnp.float32)
+        # numpy constant, NOT jnp: device constants are fetched
+        # back at every lowering (BASELINE.md trap).
+        wt_d = wt[..., None]
+
+        def body(i, cw):
+            canvas, wsum = cw
+            b, y, x = tb[i], ty[i], tx[i]
+            w = jnp.where(i < n_jobs, wt_d, np.float32(0.0))
+            cs = jax.lax.dynamic_slice(
+                canvas, (b, y, x, 0), (1, ts, ts, Cout)
+            )[0]
+            vs = jax.lax.dynamic_slice(wsum, (b, y, x, 0), (1, ts, ts, 1))[0]
+            canvas = jax.lax.dynamic_update_slice(
+                canvas, (cs + pred_t[i] * w)[None], (b, y, x, 0)
+            )
+            wsum = jax.lax.dynamic_update_slice(
+                wsum, (vs + w)[None], (b, y, x, 0)
+            )
+            return canvas, wsum
+
+        canvas, wsum = jax.lax.fori_loop(
+            0, pred_t.shape[0], body, (canvas, wsum)
+        )
+        # Host TiledPipeline normalization: where(w > 0, w, 1).
+        out = canvas / jnp.where(wsum > 0, wsum, 1.0)
+        if transfer_dtype is not None:
+            out = out.astype(transfer_dtype)
+        return out.reshape(-1)
+
+    return blend
+
+
 @ReturnOutputs
 @Output("predictions")
 class DeviceTiledInference(Node):
@@ -303,19 +376,28 @@ class DeviceTiledInference(Node):
         device_pre_ = device_pre
         device_post_ = device_post
 
-        @jax.jit
-        def step(params, tiles):  # (bs, ts, ts[, C]) uint8 → (bs, ts, ts, Cout)
-            x = tiles
-            if device_pre_ is not None:
-                x = device_pre_(x)
-            y = apply_fn(params, x)
-            if output_key_ is not None:
-                y = y[output_key_]
-            if device_post_ is not None:
-                y = device_post_(y)
-            return y.astype(jnp.float32)
+        def build_step():
+            @jax.jit
+            def step(params, tiles):  # (bs, ts, ts[, C]) uint8 → (bs, ts, ts, Cout)
+                x = tiles
+                if device_pre_ is not None:
+                    x = device_pre_(x)
+                y = apply_fn(params, x)
+                if output_key_ is not None:
+                    y = y[output_key_]
+                if device_post_ is not None:
+                    y = device_post_(y)
+                return y.astype(jnp.float32)
 
-        self._step = step
+            return step
+
+        # Process-wide memo, same rationale as JaxInference above.
+        from ..jit_cache import get_program
+
+        self._step = get_program(
+            ("dt_inference_step", model.module, output_key, device_pre, device_post),
+            build_step,
+        )
         if mesh is not None:
             # ONE sharded program: tile chunks shard over the data axis
             # (zero collectives in the forward), params pre-placed on the
@@ -335,69 +417,19 @@ class DeviceTiledInference(Node):
             # arguments are re-transferred on every dispatch.
             self._params = jax.device_put(model.params)
             self._data_sharding = None
-        # Per-instance program cache: a class-level lru_cache would key on
-        # self and pin every instance (and its params) for process life.
-        self._programs_cache = {}
-
     def _programs(self, Hb: int, Wb: int):
-        cached = self._programs_cache.get((Hb, Wb))
-        if cached is None:
-            cached = self._build_programs(Hb, Wb)
-            self._programs_cache[(Hb, Wb)] = cached
-        return cached
+        # Process-wide memo (jit_cache): the blend closes over shape
+        # scalars + the host weight window only — no params, no self —
+        # so re-built pipelines reuse the loaded executables.
+        from ..jit_cache import get_program
 
-    def _build_programs(self, Hb: int, Wb: int):
-        """Blend program for one shape bucket (auto-specialized on the
-        job-count ladder via input shapes). Tiles are cut on the HOST and
-        uploaded per forward chunk: the dominant per-process tunnel cost
-        is LOADING each compiled executable onto the remote device
-        (BASELINE.md round-3 finding), so the node keeps exactly two
-        device programs — the shared model forward and this blend."""
-        ts = self.tile_size
-        from ..engine.tiles import _linear_weight
-
-        wt = _linear_weight(ts, ts)  # numpy host constant
-
-        @functools.partial(jax.jit, static_argnames=("Bo",))
-        def blend(pred_chunks, tb, ty, tx, n_jobs, *, Bo):
-            # Tuple of (bs, ts, ts, Cout) chunks → (Bo, Hb, Wb, Cout)
-            # flat: accumulate at dynamic offsets; pad jobs carry zero
-            # weight. Chunks ride in as a pytree so no extra concatenate
-            # program is dispatched.
-            pred_t = jnp.concatenate(pred_chunks, axis=0)
-            Cout = pred_t.shape[-1]
-            canvas = jnp.zeros((Bo, Hb, Wb, Cout), jnp.float32)
-            wsum = jnp.zeros((Bo, Hb, Wb, 1), jnp.float32)
-            # numpy constant, NOT jnp: device constants are fetched
-            # back at every lowering (BASELINE.md trap).
-            wt_d = wt[..., None]
-
-            def body(i, cw):
-                canvas, wsum = cw
-                b, y, x = tb[i], ty[i], tx[i]
-                w = jnp.where(i < n_jobs, wt_d, np.float32(0.0))
-                cs = jax.lax.dynamic_slice(
-                    canvas, (b, y, x, 0), (1, ts, ts, Cout)
-                )[0]
-                vs = jax.lax.dynamic_slice(wsum, (b, y, x, 0), (1, ts, ts, 1))[0]
-                canvas = jax.lax.dynamic_update_slice(
-                    canvas, (cs + pred_t[i] * w)[None], (b, y, x, 0)
-                )
-                wsum = jax.lax.dynamic_update_slice(
-                    wsum, (vs + w)[None], (b, y, x, 0)
-                )
-                return canvas, wsum
-
-            canvas, wsum = jax.lax.fori_loop(
-                0, pred_t.shape[0], body, (canvas, wsum)
-            )
-            # Host TiledPipeline normalization: where(w > 0, w, 1).
-            out = canvas / jnp.where(wsum > 0, wsum, 1.0)
-            if self.transfer_dtype is not None:
-                out = out.astype(self.transfer_dtype)
-            return out.reshape(-1)
-
-        return blend
+        key = ("dt_blend", Hb, Wb, self.tile_size, self.transfer_dtype)
+        return get_program(
+            key,
+            lambda: _build_tiled_blend(
+                Hb, Wb, self.tile_size, self.transfer_dtype
+            ),
+        )
 
     def _run_chunk(self, images):
         """Dispatch one chunk; returns (fetch_future, layout)."""
