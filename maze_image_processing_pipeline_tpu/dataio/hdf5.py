@@ -33,6 +33,10 @@ class HDF5Writer(Node):
             values are appended along the first axis.
         dataset_mode: ``"create"`` or ``"append"``.
         compression: h5py compression (e.g. ``"gzip"``).
+        compression_opts: filter options (gzip: DEFLATE level 0-9;
+            ``None`` = h5py's default, level 4). The level is an encoder
+            knob, not a format change — any level is readable by every
+            HDF5 tool.
     """
 
     def __init__(
@@ -41,6 +45,7 @@ class HDF5Writer(Node):
         items: Sequence[Tuple[RawOrVariable[str], RawOrVariable]],
         dataset_mode: str = "create",
         compression: Optional[str] = "gzip",
+        compression_opts: Optional[int] = None,
     ) -> None:
         if dataset_mode not in ("create", "append"):
             raise ValueError(f"Unknown dataset_mode: {dataset_mode!r}")
@@ -48,6 +53,7 @@ class HDF5Writer(Node):
         self.items = list(items)
         self.dataset_mode = dataset_mode
         self.compression = compression
+        self.compression_opts = compression_opts
         super().__init__()
 
     def transform_stream(self, stream: Stream) -> Stream:
@@ -78,7 +84,10 @@ class HDF5Writer(Node):
                             name = str(self._resolve(obj, name_var))
                             value = to_array(self._resolve(obj, value_var))
                             h5.create_dataset(
-                                name, data=value, compression=self.compression
+                                name,
+                                data=value,
+                                compression=self.compression,
+                                compression_opts=self.compression_opts,
                             )
                     else:  # append
                         for name_var, value_var in self.items:
@@ -91,6 +100,7 @@ class HDF5Writer(Node):
                                     data=row,
                                     maxshape=(None,) + value.shape,
                                     compression=self.compression,
+                                    compression_opts=self.compression_opts,
                                 )
                             else:
                                 ds = h5[name]

@@ -737,7 +737,13 @@ class Runner(PipelineRunner):
                         else [("object_id", object_id), ("predictions", predictions)]
                     ),
                     dataset_mode="create" if h5_mode_create else "append",
+                    # DEFLATE level 1: same format as the reference's
+                    # compression="gzip" (h5py default level 4), ~3× less
+                    # host CPU — gzip of the raw prediction maps was the
+                    # single largest steady-state cost of the semseg stage
+                    # on a 1-core host (round-3 profile).
                     compression="gzip",
+                    compression_opts=1,
                 )
 
             if config.segmentation:
