@@ -69,6 +69,20 @@ class Telemetry:
             tolerance = pd.Timedelta(tolerance)
         self.tolerance = tolerance
         self._not_found = set()
+        # Nearest-join fast path: the sorted index as int64 ns + one dict
+        # per row, computed once. A haul has ~20 objects per frame all
+        # sharing the frame's timestamp, so joins are also memoized per
+        # distinct timestamp (measured ~2 ms per pandas get_indexer +
+        # .iloc[].to_dict() call -> ~0.9 s of a 6.5 s steady loki stage).
+        if not self.telemetry.empty:
+            self._times_ns = self.telemetry.index.values.astype(
+                "datetime64[ns]"
+            ).astype("int64")
+            self._records = self.telemetry.to_dict("records")
+        else:
+            self._times_ns = None
+            self._records = []
+        self._join_cache: Dict[datetime.datetime, Optional[Dict]] = {}
 
     @staticmethod
     def _read_all(
@@ -134,14 +148,37 @@ class Telemetry:
         fn = "{object_date} {object_time}.tmd".format_map(meta)
         dt = parse_telemetry_fn(pathlib.PurePosixPath(fn).name)
 
-        (idx,) = self.telemetry.index.get_indexer(
-            [dt], method="nearest", tolerance=self.tolerance
-        )
+        try:
+            row = self._join_cache[dt]
+        except KeyError:
+            row = self._join_cache[dt] = self._nearest_row(dt)
 
-        if idx == -1:
+        if row is None:
             if dt not in self._not_found:
                 logger.warning("No telemetry found for %s", dt)
                 self._not_found.add(dt)
             return meta
 
-        return {**meta, **self.telemetry.iloc[idx].to_dict()}
+        return {**meta, **row}
+
+    def _nearest_row(self, dt: datetime.datetime) -> Optional[Dict]:
+        """Nearest index row within tolerance (pandas ``method="nearest"``
+        semantics: ties pick the earlier timestamp), or None."""
+        import numpy as np
+
+        times = self._times_ns
+        t = np.datetime64(dt, "ns").astype("int64")
+        pos = int(np.searchsorted(times, t))
+        if pos == 0:
+            idx = 0
+        elif pos == len(times):
+            idx = len(times) - 1
+        else:
+            left_dist = t - times[pos - 1]
+            right_dist = times[pos] - t
+            idx = pos - 1 if left_dist <= right_dist else pos
+        if self.tolerance is not None and abs(
+            int(times[idx]) - int(t)
+        ) > self.tolerance.value:
+            return None
+        return self._records[idx]

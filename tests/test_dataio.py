@@ -295,6 +295,32 @@ class TestTelemetry:
         merged = tele.merge_telemetry(meta)
         assert "object_pressure" not in merged
 
+    def test_nearest_matches_pandas(self, tmp_path):
+        """The searchsorted fast path must reproduce pandas
+        ``get_indexer(method="nearest", tolerance=...)`` exactly,
+        including midpoint ties and out-of-range probes."""
+        import datetime
+
+        import pandas as pd
+
+        sample = make_loki_sample(str(tmp_path))
+        for tol in (None, "1s", "3s", "1h"):
+            tele = Telemetry(sample, tolerance=tol)
+            base = datetime.datetime(2022, 1, 3, 12, 1, 2)
+            probes = [
+                base + datetime.timedelta(seconds=s, milliseconds=ms)
+                for s in (-90, -4, -2, -1, 0, 1, 2, 3, 5, 7, 11, 600)
+                for ms in (0, 1, 500, 999)
+            ]
+            for dt in probes:
+                (idx,) = tele.telemetry.index.get_indexer(
+                    [dt], method="nearest", tolerance=tele.tolerance
+                )
+                expected = (
+                    None if idx == -1 else tele.telemetry.iloc[idx].to_dict()
+                )
+                assert tele._nearest_row(dt) == expected, (tol, dt)
+
 
 class TestRound3Fixes:
     def test_writer_bool_meta_is_numeric(self, tmp_path):
