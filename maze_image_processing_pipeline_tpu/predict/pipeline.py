@@ -62,12 +62,25 @@ def _convex_area(mask: np.ndarray) -> float:
     """Pixel count of the filled convex hull (cv2)."""
     import cv2
 
-    pts = cv2.findNonZero(mask.astype(np.uint8))
-    if pts is None or len(pts) < 3:
-        return float(mask.sum())
+    ys, xs = np.nonzero(mask)
+    if ys.size < 3:
+        return float(ys.size)
+    # The hull of the per-row extreme pixels equals the hull of every
+    # mask pixel (interior points are convex combinations), but hands
+    # convexHull <= 2 rows points instead of `area` points (measured
+    # 1.7 -> <0.1 ms per call on a 300^2 crop).
+    rows, first = np.unique(ys, return_index=True)
+    last = np.r_[first[1:], ys.size] - 1
+    pts = np.stack(
+        [np.r_[xs[first], xs[last]], np.r_[rows, rows]], axis=1
+    ).astype(np.int32)[:, None, :]
     hull = cv2.convexHull(pts)
-    canvas = np.zeros(mask.shape, np.uint8)
-    cv2.fillPoly(canvas, [hull], 1)
+    # Rasterize in bbox-local coordinates: same pixel count, but the
+    # canvas shrinks from the crop extent to the hull extent.
+    x0, y0 = hull[:, 0, :].min(axis=0)
+    x1, y1 = hull[:, 0, :].max(axis=0)
+    canvas = np.zeros((int(y1 - y0) + 1, int(x1 - x0) + 1), np.uint8)
+    cv2.fillPoly(canvas, [hull - np.array([[x0, y0]])], 1)
     return float(canvas.sum())
 
 
@@ -254,8 +267,15 @@ def measure_segments(
             best = int(np.argmax(counts)) + 1
             largest = labels == best
             predictions[..., c] = largest
+            # Only area / axis_major_length / centroid / orientation are
+            # consumed below: skip the 16-angle feret sweep (measured
+            # 3.3 -> 0.7 ms per call on a 300^2 crop; x2 channels x
+            # objects it was ~1.7 s of the steady semseg stage).
             props = {
-                k: v[1] for k, v in host_region_props(largest, None).items()
+                k: v[1]
+                for k, v in host_region_props(
+                    largest, None, n_feret_angles=0
+                ).items()
             }
             props["area_convex"] = _convex_area(largest)
             channel_props[channel_name] = props
