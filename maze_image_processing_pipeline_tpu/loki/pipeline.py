@@ -757,17 +757,39 @@ class DeviceTiledSegmentation(Node):
         # the loaded executables per tile-count rung (jit_cache).
         blend = get_program(("loki_blend", Hp, Wp, ts, B), build_blend)
 
-        def fn(frames_dev, tiles_host, occ, hs, ws, device=None):
-            # tiles_host: (Ncap, ts, ts) uint8 numpy, Ncap a multiple of
-            # bs — each bs-chunk uploads with its own forward dispatch
-            # (upload/compute overlap), the forward stays ONE executable.
+        def build_cut():
+            @jax.jit
+            def cut_tiles(frames, tb, ty, tx):
+                # (B, Hp, Wp) u8 frames → (len(tb), ts, ts) tile stack, a
+                # lax.scan of dynamic_slice steps (TPU-friendly copies, no
+                # gathers).
+                def step(_, xs):
+                    b, y, x = xs
+                    return None, jax.lax.dynamic_slice(
+                        frames, (b, y, x), (1, ts, ts)
+                    )[0]
+
+                _, tiles = jax.lax.scan(step, None, (tb, ty, tx))
+                return tiles
+
+            return cut_tiles
+
+        # Tiles are cut ON DEVICE out of the frame stack the group already
+        # uploaded: host-side cutting re-uploaded every tile (~1.3× the
+        # frame bytes again — with stride overlap ~16 MB per 8-frame group
+        # through a ~20 MB/s tunnel, the steady stage's dominant wait).
+        # One extra small program per frame-shape bucket, shared
+        # process-wide (jit_cache).
+        cut_tiles = get_program(("loki_cut_tiles", Hp, Wp, ts, B), build_cut)
+
+        def fn(frames_dev, occ, hs, ws, device=None):
             tb, ty, tx, n_occ = occ
             chunks = []
-            for i in range(0, tiles_host.shape[0], bs):
-                chunk = tiles_host[i : i + bs]
-                if device is not None:
-                    chunk = jax.device_put(chunk, device)
-                chunks.append(infer(chunk, device))
+            for i in range(0, tb.shape[0], bs):
+                tiles_chunk = cut_tiles(
+                    frames_dev, tb[i : i + bs], ty[i : i + bs], tx[i : i + bs]
+                )
+                chunks.append(infer(tiles_chunk, device))
             pred = blend(tuple(chunks), tb, ty, tx, n_occ, hs, ws)
             return post(pred, frames_dev)
 
@@ -1009,6 +1031,32 @@ class DeviceTiledSegmentation(Node):
             )
         return out
 
+    class _Entry:
+        """One dispatched frame group awaiting emission."""
+
+        __slots__ = ("objs", "out", "frames_dev", "dims", "key", "started",
+                     "results", "n_left")
+
+        def __init__(self, objs, out, frames_dev, dims, key):
+            self.objs = objs
+            self.out = out
+            self.frames_dev = frames_dev
+            self.dims = dims
+            self.key = key
+            self.started = None
+            self.results = None
+            self.n_left = len(objs)
+
+    class _Holder:
+        """An arrived frame's slot in the arrival-order reorder buffer."""
+
+        __slots__ = ("key", "entry", "slot")
+
+        def __init__(self, key):
+            self.key = key
+            self.entry = None
+            self.slot = None
+
     def transform_stream(self, stream: Stream) -> Stream:
         import collections
 
@@ -1017,65 +1065,80 @@ class DeviceTiledSegmentation(Node):
         from ..engine.core import closing_if_closable
 
         in_flight = 2 * len(self._devices)
-        pending: "collections.deque" = collections.deque()
-        group: list = []  # (obj, image, H, W)
-        group_key = None
+        pending: "collections.deque" = collections.deque()  # dispatch order
+        arrival: "collections.deque" = collections.deque()  # _Holder, arrival order
+        # One OPEN group per shape bucket: stitched LOKI frame sizes vary
+        # from frame to frame, and flushing on every key change (the
+        # previous design) split a haul into many PARTIAL groups, each
+        # paying the fixed per-dispatch costs (blend program, stats fetch,
+        # ~25 ms tunnel dispatch latency) — measured 5 flushes instead of
+        # 3 on the 24-frame bench haul. Objects still leave this node in
+        # exact arrival order via the reorder buffer (dedup downstream
+        # compares consecutive frames).
+        open_groups: Dict[Tuple[int, int], list] = {}
         group_idx = 0
         B = self._frame_batch
         bs = self._cfg.batch_size or 8
 
         def start(entry):
             # Phase A of crop extraction for a pending group: dispatch the
-            # extract programs and start their device→host copies. Called
-            # for the NEXT pending group before the current one's host-side
-            # assembly, so the copies ride the tunnel while the host works.
-            if not self._crops_mode or entry[5] is not None:
+            # extract programs and start their device→host copies, so the
+            # copies ride the tunnel while the host assembles the previous
+            # group's regions.
+            if not self._crops_mode or entry.started is not None:
                 return
-            objs, out, frames_dev, dims, (Hb, Wb), _ = entry
-            labels_dev, stats_fut = out
+            labels_dev, stats_fut = entry.out
             stats = _unpack_stats_batch(stats_fut, B, self._pack_keys)
-            entry[5] = (
+            entry.started = (
                 stats,
-                self._start_crops(labels_dev, frames_dev, stats, dims),
+                self._start_crops(labels_dev, entry.frames_dev, stats,
+                                  entry.dims),
             )
 
-        def emit(entry):
-            objs, out, frames_dev, dims, (Hb, Wb), started = entry
+        def finish(entry):
+            if entry.results is not None:
+                return entry.results
+            start(entry)
+            # Prefetch: phase A of the next un-started flushed group.
+            for nxt in pending:
+                if nxt is not entry and nxt.started is None:
+                    start(nxt)
+                    break
+            results = []
             if self._crops_mode:
-                stats, crop_state = started
+                stats, crop_state = entry.started
                 regions_per_frame = self._finish_crops(crop_state)
-                for b, obj in enumerate(objs):
+                for b in range(len(entry.objs)):
                     n, props = stats[b]
-                    _, props, n = _finalize_frame(None, n, props, self._post_cfg)
-                    self.prepare_output(
-                        obj, None, props, n, regions_per_frame[b]
-                    )
-                    yield obj
+                    _, props, n = _finalize_frame(None, n, props,
+                                                  self._post_cfg)
+                    results.append((None, props, n, regions_per_frame[b]))
             else:
-                for obj, (labels, n, props) in zip(
-                    objs,
-                    _unpack_frame_batch(out, dims, Hb, Wb, B, self._pack_keys),
+                Hb, Wb = entry.key
+                for labels, n, props in _unpack_frame_batch(
+                    entry.out, entry.dims, Hb, Wb, B, self._pack_keys
                 ):
                     labels, props, n = _finalize_frame(
                         labels, n, props, self._post_cfg
                     )
-                    self.prepare_output(obj, labels, props, n, None)
-                    yield obj
+                    results.append((labels, props, n, None))
+            entry.results = results
+            return results
 
-        def flush():
-            nonlocal group, group_idx
+        def flush_group(key):
+            nonlocal group_idx
+            group = open_groups.pop(key, None)
             if not group:
                 return
-            Hb, Wb = group_key
+            Hb, Wb = key
             objs = [g[0] for g in group]
             dims = [(g[2], g[3]) for g in group]
             imgs = np.zeros((B, Hb, Wb), group[0][1].dtype)
             hs = np.zeros((B,), np.int32)
             ws = np.zeros((B,), np.int32)
-            for b, (_, image, H, W) in enumerate(group):
+            for b, (_, image, H, W, _h) in enumerate(group):
                 imgs[b, :H, :W] = image
                 hs[b], ws[b] = H, W
-            group = []
             fn, offsets = self._get_fn(Hb, Wb)
             device = self._devices[group_idx % len(self._devices)]
             group_idx += 1
@@ -1094,16 +1157,13 @@ class DeviceTiledSegmentation(Node):
             N = len(jobs)
             Ncap = bs * _round_ladder(-(-max(N, 1) // bs))
             jobs = jobs + [(0, 0, 0)] * (Ncap - N)
-            tiles = np.empty((Ncap, ts, ts), imgs.dtype)
-            for j, (b, oy, ox) in enumerate(jobs):
-                tiles[j] = imgs[b, oy : oy + ts, ox : ox + ts]
             occ = (
                 np.asarray([j[0] for j in jobs], np.int32),
                 np.asarray([j[1] for j in jobs], np.int32),
                 np.asarray([j[2] for j in jobs], np.int32),
                 np.asarray(N, np.int32),
             )
-            out = fn(imgs_dev, tiles, occ, hs, ws, device=device)
+            out = fn(imgs_dev, occ, hs, ws, device=device)
             # Start the device→host copy of the small stats buffer early so
             # the transfer overlaps with later dispatches.
             if os.environ.get("MAZE_ASYNC_COPY", "1") != "0":
@@ -1111,7 +1171,33 @@ class DeviceTiledSegmentation(Node):
                 copy_async = getattr(stats_fut, "copy_to_host_async", None)
                 if copy_async is not None:
                     copy_async()
-            pending.append([objs, out, imgs_dev, dims, (Hb, Wb), None])
+            entry = self._Entry(objs, out, imgs_dev, dims, key)
+            for b, (_, _, _, _, h) in enumerate(group):
+                h.entry = entry
+                h.slot = b
+            pending.append(entry)
+
+        def emit_one():
+            h = arrival.popleft()
+            if h.entry is None:
+                # The arrival head's group is still open (rare size that
+                # never filled): force a partial flush to honor ordering.
+                flush_group(h.key)
+            entry = h.entry
+            labels, props, n, regions = finish(entry)[h.slot]
+            obj = entry.objs[h.slot]
+            self.prepare_output(obj, labels, props, n, regions)
+            entry.n_left -= 1
+            if entry.n_left == 0:
+                pending.remove(entry)
+                # Release the device buffers as soon as the group is done.
+                entry.out = entry.frames_dev = entry.started = None
+            return obj
+
+        def total_buffered():
+            return sum(len(g) for g in open_groups.values()) + sum(
+                e.n_left for e in pending
+            )
 
         with closing_if_closable(stream):
             for obj in stream:
@@ -1126,25 +1212,33 @@ class DeviceTiledSegmentation(Node):
                 # stitched sizes into as few shapes as possible.
                 Hb = -(-max(H, ts) // 256) * 256
                 Wb = -(-max(W, ts) // 256) * 256
-                if group and group_key != (Hb, Wb):
-                    flush()
-                group_key = (Hb, Wb)
-                group.append((obj, image, H, W))
-                if len(group) >= B:
-                    flush()
-                while len(pending) > in_flight:
-                    entry = pending.popleft()
-                    start(entry)
-                    if pending:
-                        start(pending[0])
-                    yield from emit(entry)
-            flush()
-            while pending:
-                entry = pending.popleft()
-                start(entry)
-                if pending:
-                    start(pending[0])
-                yield from emit(entry)
+                key = (Hb, Wb)
+                h = self._Holder(key)
+                arrival.append(h)
+                open_groups.setdefault(key, []).append((obj, image, H, W, h))
+                if len(open_groups[key]) >= B:
+                    flush_group(key)
+                # Emit while enough groups are in flight AND the arrival
+                # head is already flushed (don't force partial flushes
+                # just to drain).
+                while (
+                    len(pending) > in_flight
+                    and arrival
+                    and arrival[0].entry is not None
+                ):
+                    yield emit_one()
+                # Hard cap on buffered frames: bounds memory and the
+                # latency of rare-size frames (may force a partial flush).
+                while total_buffered() > (in_flight + 2) * B:
+                    yield emit_one()
+            # Stream ended: every open group is final — dispatch them all
+            # NOW so their device work overlaps the drain's host-side
+            # region assembly instead of starting (device idle) when their
+            # first holder reaches the arrival head.
+            for key in list(open_groups):
+                flush_group(key)
+            while arrival:
+                yield emit_one()
 
     def _input_names(self):
         return ("image",)
