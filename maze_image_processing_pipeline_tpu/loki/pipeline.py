@@ -646,6 +646,14 @@ class DeviceTiledSegmentation(Node):
         self._devices = list(mesh.devices.flat) if mesh is not None else [None]
         self._fns: Dict[Tuple[int, int], object] = {}
         self._frame_batch = max(1, getattr(config, "frame_batch", 4))
+        if 0 < (config.batch_size or 8) < 8 and config.tile_size >= 512:
+            logger.warning(
+                "batch_size=%d with %d² tiles hits a GroupNorm small-batch "
+                "cliff on TPU (measured 57.6 ms/tile at batch 4 vs 11.4 at "
+                "batch 8, BASELINE.md); prefer batch_size >= 8.",
+                config.batch_size,
+                config.tile_size,
+            )
 
     def _get_fn(self, H: int, W: int):
         fn = self._fns.get((H, W))

@@ -176,7 +176,10 @@ def main() -> None:
                 "segmentation": {
                     "jax": {
                         "model_fn": loki_unet,
-                        "batch_size": 4,
+                        # 16 = one infer dispatch per 8-frame group; batch 4
+                        # hits the GroupNorm small-batch cliff (57.6 vs
+                        # 11.4/10.8 ms/tile at 8/16 — BASELINE.md round-3).
+                        "batch_size": int(os.environ.get("E2E_BATCH", "16")),
                         "frame_batch": int(os.environ.get("E2E_FRAME_BATCH", "8")),
                         "tile_size": 1024,
                         "tile_stride": 896,
