@@ -37,6 +37,10 @@ class HDF5Writer(Node):
             ``None`` = h5py's default, level 4). The level is an encoder
             knob, not a format change — any level is readable by every
             HDF5 tool.
+        shuffle: byte-shuffle filter before compression (HDF5 standard
+            filter, readable everywhere). On float prediction maps it
+            measured both faster AND smaller than plain DEFLATE
+            (1.97 → 1.54 s / 51 → 49 MB on a real 81 MB haul's maps).
     """
 
     def __init__(
@@ -46,6 +50,7 @@ class HDF5Writer(Node):
         dataset_mode: str = "create",
         compression: Optional[str] = "gzip",
         compression_opts: Optional[int] = None,
+        shuffle: bool = True,
     ) -> None:
         if dataset_mode not in ("create", "append"):
             raise ValueError(f"Unknown dataset_mode: {dataset_mode!r}")
@@ -54,6 +59,7 @@ class HDF5Writer(Node):
         self.dataset_mode = dataset_mode
         self.compression = compression
         self.compression_opts = compression_opts
+        self.shuffle = shuffle
         super().__init__()
 
     def transform_stream(self, stream: Stream) -> Stream:
@@ -103,6 +109,8 @@ class HDF5Writer(Node):
                                 data=value,
                                 compression=self.compression,
                                 compression_opts=self.compression_opts,
+                                shuffle=self.shuffle
+                                and self.compression is not None,
                                 **chunk_opts(value),
                             )
                     else:  # append
@@ -117,6 +125,8 @@ class HDF5Writer(Node):
                                     maxshape=(None,) + value.shape,
                                     compression=self.compression,
                                     compression_opts=self.compression_opts,
+                                    shuffle=self.shuffle
+                                    and self.compression is not None,
                                 )
                             else:
                                 ds = h5[name]

@@ -180,6 +180,12 @@ class PredictionPipelineConfig(BaseModel):
         False,
         description="Save raw predictions into an HDF5 file, e.g. for feature extraction.",
     )
+    raw_h5_dtype: Literal["float32", "float16"] = Field(
+        "float32",
+        description="Storage dtype for save_raw_h5. float16 halves both the "
+        "device fetch and the file (sigmoid probabilities lose <1e-3 "
+        "absolute precision); float32 stores the model output verbatim.",
+    )
     segmentation: SegmentationConfig | Literal[False] = Field(
         False,
         description="Measure predicted segments and store into EcoTaxa archive. "

@@ -680,8 +680,13 @@ class Runner(PipelineRunner):
 
             # Halve the device→host fetch for mask/probability consumers
             # (the dominant cost on tunneled hosts), but keep full precision
-            # when raw outputs are persisted as deep features (HDF5).
-            transfer_dtype = None if config.save_raw_h5 else np.float16
+            # when raw outputs are persisted as deep features (HDF5) at the
+            # default raw_h5_dtype float32; float16 storage keeps the
+            # halved fetch too.
+            raw_f16 = config.raw_h5_dtype == "float16"
+            transfer_dtype = (
+                None if config.save_raw_h5 and not raw_f16 else np.float16
+            )
 
             tiling = config.model.tiling
             if tiling is not False and tiling.device_blend:
@@ -749,12 +754,17 @@ class Runner(PipelineRunner):
 
             if config.save_raw_h5:
                 h5_mode_create = config.model.tiling is not False
+                h5_pred = predictions
+                if raw_f16:
+                    h5_pred = Call(
+                        lambda p: np.asarray(p, np.float16), predictions
+                    )
                 HDF5Writer(
                     predictions_fn,
                     (
-                        [(object_id, predictions)]
+                        [(object_id, h5_pred)]
                         if h5_mode_create
-                        else [("object_id", object_id), ("predictions", predictions)]
+                        else [("object_id", object_id), ("predictions", h5_pred)]
                     ),
                     dataset_mode="create" if h5_mode_create else "append",
                     # DEFLATE level 1: same format as the reference's

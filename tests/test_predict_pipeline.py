@@ -256,6 +256,50 @@ class TestPredictEndToEnd:
         ]:
             assert col in df.columns
 
+    def test_semseg_h5_float16(self, tmp_path, rng):
+        """raw_h5_dtype: float16 stores half-precision maps (and keeps the
+        halved device fetch); values match float32 within f16 resolution."""
+        archive_fn, crops = make_input_archive(tmp_path, rng, n=2, size=64)
+
+        model_dir = str(tmp_path / "unet")
+        module = UNet(out_channels=2, base_features=4, depth=1, dtype=jnp.float32)
+        params = module.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
+        save_model(
+            model_dir,
+            module,
+            params,
+            outputs={"pred": {"channel_names": ["prosoma", "oilsack"]}},
+        )
+
+        outs = {}
+        for dtype in ("float32", "float16"):
+            target_dir = str(tmp_path / f"out_{dtype}")
+            Runner._configure_and_run(
+                {
+                    "input": {"path": archive_fn},
+                    "model": {
+                        "model_fn": model_dir,
+                        "dtype": "float32",
+                        "batch_size": 2,
+                        "tiling": {"size": 64, "stride": 48},
+                    },
+                    "save_raw_h5": True,
+                    "raw_h5_dtype": dtype,
+                    "target_dir": target_dir,
+                }
+            )
+            with h5py.File(os.path.join(target_dir, "crops.h5")) as h5:
+                outs[dtype] = {k: h5[k][...] for k in h5.keys()}
+
+        assert all(v.dtype == np.float16 for v in outs["float16"].values())
+        assert all(v.dtype == np.float32 for v in outs["float32"].values())
+        for k in outs["float32"]:
+            np.testing.assert_allclose(
+                outs["float16"][k].astype(np.float32),
+                outs["float32"][k],
+                atol=2e-3,
+            )
+
     def test_polytaxo_end_to_end(self, tmp_path, rng):
         archive_fn, _ = make_input_archive(tmp_path, rng, n=3, size=64)
         tax_fn, csv_fn = make_taxonomy_files(tmp_path)
