@@ -103,6 +103,69 @@ def get_lib() -> Optional[ctypes.CDLL]:
     return _lib
 
 
+_libdeflate: Optional[ctypes.CDLL] = None
+_libdeflate_failed = False
+
+
+def _get_libdeflate() -> Optional[ctypes.CDLL]:
+    """The system libdeflate, if present (a ~2-3x faster DEFLATE encoder
+    at the identical zlib/gzip stream format)."""
+    global _libdeflate, _libdeflate_failed
+    if _libdeflate is not None or _libdeflate_failed:
+        return _libdeflate
+    try:
+        lib = ctypes.CDLL("libdeflate.so.0")
+        lib.libdeflate_alloc_compressor.restype = ctypes.c_void_p
+        lib.libdeflate_alloc_compressor.argtypes = [ctypes.c_int]
+        lib.libdeflate_zlib_compress_bound.restype = ctypes.c_size_t
+        lib.libdeflate_zlib_compress_bound.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_size_t,
+        ]
+        lib.libdeflate_zlib_compress.restype = ctypes.c_size_t
+        lib.libdeflate_zlib_compress.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_char_p,
+            ctypes.c_size_t,
+            ctypes.c_void_p,
+            ctypes.c_size_t,
+        ]
+        _libdeflate = lib
+    except OSError as exc:
+        logger.info("libdeflate unavailable: %s", exc)
+        _libdeflate_failed = True
+    return _libdeflate
+
+
+_deflate_compressors: dict = {}
+
+
+def zlib_compress(data: bytes, level: int = 1) -> Optional[bytes]:
+    """Compress to a standard zlib stream via libdeflate.
+
+    Returns None when libdeflate is unavailable (callers fall back to
+    :mod:`zlib`). The output is bit-compatible with what any zlib inflater
+    (including HDF5's DEFLATE filter and PNG readers) decodes; only the
+    encoder differs (measured ~1.7x faster than libz at level 1 on
+    prediction-map payloads).
+    """
+    lib = _get_libdeflate()
+    if lib is None:
+        return None
+    comp = _deflate_compressors.get(level)
+    if comp is None:
+        comp = lib.libdeflate_alloc_compressor(int(level))
+        if not comp:
+            return None
+        _deflate_compressors[level] = comp
+    bound = lib.libdeflate_zlib_compress_bound(comp, len(data))
+    out = ctypes.create_string_buffer(bound)
+    n = lib.libdeflate_zlib_compress(comp, data, len(data), out, bound)
+    if not n:
+        return None
+    return out.raw[:n]
+
+
 def bmp_decode(data: bytes) -> Optional[np.ndarray]:
     """Decode a BI_RGB BMP buffer; None when unsupported (caller falls back)."""
     lib = get_lib()

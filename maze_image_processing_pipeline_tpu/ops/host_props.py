@@ -40,6 +40,7 @@ def host_region_props(
     intensity: Optional[np.ndarray] = None,
     compute_histogram: bool = True,
     n_feret_angles: int = 16,
+    compute_perimeter: bool = True,
 ) -> Dict[str, np.ndarray]:
     """Measure ONE region (boolean mask) with the device regionprops keys.
 
@@ -58,9 +59,11 @@ def host_region_props(
         for key in (
             "area min_row min_col max_row max_col centroid_row centroid_col "
             "mu20 mu02 mu11 axis_major_length axis_minor_length orientation "
-            "eccentricity perimeter"
+            "eccentricity"
         ).split():
             put(key, 0.0)
+        if compute_perimeter:
+            put("perimeter", 0.0)
         if n_feret_angles:
             # Keep the key set identical to the non-empty branch, which
             # only emits feret when n_feret_angles is nonzero.
@@ -105,7 +108,11 @@ def host_region_props(
         "eccentricity",
         math.sqrt(max(1 - lam2 / lam1, 0.0)) if lam1 > 0 else 0.0,
     )
-    put("perimeter", _perimeter(mask))
+    if compute_perimeter:
+        # A full extra pass over the mask; skippable by consumers that
+        # never read it (e.g. semseg measure_segments — it was ~0.4 s of
+        # a 332-object haul's steady stage).
+        put("perimeter", _perimeter(mask))
 
     if n_feret_angles:
         angles = np.arange(n_feret_angles) * (math.pi / n_feret_angles)

@@ -270,11 +270,12 @@ def measure_segments(
             # Only area / axis_major_length / centroid / orientation are
             # consumed below: skip the 16-angle feret sweep (measured
             # 3.3 -> 0.7 ms per call on a 300^2 crop; x2 channels x
-            # objects it was ~1.7 s of the steady semseg stage).
+            # objects it was ~1.7 s of the steady semseg stage) and the
+            # perimeter pass (another ~0.4 s/haul).
             props = {
                 k: v[1]
                 for k, v in host_region_props(
-                    largest, None, n_feret_angles=0
+                    largest, None, n_feret_angles=0, compute_perimeter=False
                 ).items()
             }
             props["area_convex"] = _convex_area(largest)

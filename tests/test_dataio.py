@@ -248,6 +248,53 @@ class TestHDF5:
             assert set(h5.keys()) == {"obj0", "obj1"}
             np.testing.assert_allclose(h5["obj1"][()], 1.0)
 
+    def test_create_direct_chunk_roundtrip(self, tmp_path, rng):
+        """The libdeflate direct-chunk fast path must produce a standard
+        gzip+shuffle HDF5 file that plain h5py reads back bit-identically
+        (and must quietly fall back when libdeflate is unavailable)."""
+        import h5py
+
+        from maze_image_processing_pipeline_tpu import native
+
+        arrs = [
+            rng.random((37, 21, 2)).astype(np.float16),
+            (rng.random((5, 9)) * 255).astype(np.uint8),
+            np.arange(11, dtype=np.int64),
+        ]
+
+        def write(fn):
+            with Pipeline() as p:
+                i = Unpack([0, 1, 2])
+                v = Call(lambda x: arrs[x], i)
+                oid = Call(lambda x: f"obj{x}", i)
+                HDF5Writer(
+                    fn, [(oid, v)], dataset_mode="create",
+                    compression="gzip", compression_opts=1,
+                )
+            p.run()
+
+        fn = str(tmp_path / "direct.h5")
+        write(fn)
+        with h5py.File(fn) as h5:
+            for i, a in enumerate(arrs):
+                got = h5[f"obj{i}"]
+                assert got.compression == "gzip"
+                assert got.shuffle
+                assert got.dtype == a.dtype
+                np.testing.assert_array_equal(got[()], a)
+
+        # Fallback path (no libdeflate) writes the same logical content.
+        fn2 = str(tmp_path / "fallback.h5")
+        orig = native.zlib_compress
+        native.zlib_compress = lambda *a, **k: None
+        try:
+            write(fn2)
+        finally:
+            native.zlib_compress = orig
+        with h5py.File(fn2) as h5:
+            for i, a in enumerate(arrs):
+                np.testing.assert_array_equal(h5[f"obj{i}"][()], a)
+
 
 class TestLokiReaders:
     def test_sample_tree(self, tmp_path):
