@@ -855,18 +855,19 @@ class DeviceTiledSegmentation(Node):
             region_plans.append(plans)
         return buckets, region_plans
 
-    def _extract_crops(self, labels_dev, frames_dev, stats, dims):
-        """Cut every region's crop on device; one fetch per size bucket."""
-        return self._finish_crops(
-            self._start_crops(labels_dev, frames_dev, stats, dims)
-        )
-
-    def _start_crops(self, labels_dev, frames_dev, stats, dims):
+    def _start_crops(self, labels_dev, frames_dev, stats, dims,
+                     frames_host=None):
         """Phase A: plan windows, dispatch the extract programs, start the
         device→host copies. Returns the in-flight state consumed by
         :meth:`_finish_crops`, so the caller can overlap the copies with
         the previous group's host-side region assembly (the steady loki
-        stage was ~60% device-fetch wait before this split)."""
+        stage was ~60% device-fetch wait before this split).
+
+        With ``frames_host`` (the same stitched frames the caller uploaded,
+        still in host memory) only the mask bits are extracted on device —
+        intensity windows are sliced from the host copy, HALVING the crop
+        fetch (the largest remaining steady cost through tunneled hosts).
+        """
         from ..ops.crops import extract_region_crops
 
         Hp, Wp = frames_dev.shape[-2:]
@@ -888,6 +889,7 @@ class DeviceTiledSegmentation(Node):
                 extract_region_crops(
                     frames_dev, labels_dev, ids, bidx, wy, wx,
                     size_h=Sh, size_w=Sw,
+                    include_intensity=frames_host is None,
                 )
             )
             layout.append((key, Ncap))
@@ -900,13 +902,13 @@ class DeviceTiledSegmentation(Node):
                 copy_async = getattr(part, "copy_to_host_async", None)
                 if copy_async is not None:
                     copy_async()
-        return (labels_dev, frames_dev, stats, dims, region_plans, layout, parts)
+        return (labels_dev, frames_dev, frames_host, stats, dims,
+                region_plans, layout, parts)
 
     def _finish_crops(self, crop_state):
         """Phase B: wait for the copies and assemble RegionInfo objects."""
-        labels_dev, frames_dev, stats, dims, region_plans, layout, parts = (
-            crop_state
-        )
+        (labels_dev, frames_dev, frames_host, stats, dims, region_plans,
+         layout, parts) = crop_state
         R = self._post_cfg.max_regions
         any_overflow = any(stats[b][0] > R - 1 for b in range(len(dims)))
         if not parts and not any_overflow:
@@ -916,10 +918,13 @@ class DeviceTiledSegmentation(Node):
             Sh, Sw = key
             fp = np.asarray(part)
             sz = Ncap * Sh * Sw
-            views[key] = (
-                fp[:sz].reshape(Ncap, Sh, Sw),
-                fp[sz : 2 * sz].reshape(Ncap, Sh, Sw),
-            )
+            if frames_host is None:
+                views[key] = (
+                    fp[:sz].reshape(Ncap, Sh, Sw),
+                    fp[sz : 2 * sz].reshape(Ncap, Sh, Sw),
+                )
+            else:
+                views[key] = (None, fp[:sz].reshape(Ncap, Sh, Sw))
 
         import scipy.ndimage as ndi
 
@@ -927,10 +932,12 @@ class DeviceTiledSegmentation(Node):
         # >= max_regions) fall back to host extraction for the overflow,
         # matching FindRegions._iter_regions' host path so device-crops
         # mode never silently exports fewer objects (round-3 review).
-        labels_host = frames_host = None
+        labels_host = None
+        overflow_frames = frames_host
         if any_overflow:
             labels_host = np.asarray(labels_dev)
-            frames_host = np.asarray(frames_dev)
+            if overflow_frames is None:
+                overflow_frames = np.asarray(frames_dev)
 
         regions_per_frame = []
         for b, plans in enumerate(region_plans):
@@ -944,7 +951,12 @@ class DeviceTiledSegmentation(Node):
                 wy, wx = p["win"]
                 py0, px0, py1, px1 = p["bbox_padded"]
                 sy, sx = py0 - wy, px0 - wx
-                win_i = imgs_v[p["slot"], sy : sy + (py1 - py0), sx : sx + (px1 - px0)]
+                if imgs_v is None:
+                    win_i = frames_host[b, py0:py1, px0:px1]
+                else:
+                    win_i = imgs_v[
+                        p["slot"], sy : sy + (py1 - py0), sx : sx + (px1 - px0)
+                    ]
                 win_b = bits_v[p["slot"], sy : sy + (py1 - py0), sx : sx + (px1 - px0)]
                 mask = (win_b & 1) > 0
                 other = (win_b & 2) > 0
@@ -972,7 +984,7 @@ class DeviceTiledSegmentation(Node):
             if n > R - 1 and labels_host is not None:
                 regions.extend(
                     self._host_overflow_regions(
-                        labels_host[b], frames_host[b], dims[b], int(n)
+                        labels_host[b], overflow_frames[b], dims[b], int(n)
                     )
                 )
             regions_per_frame.append(regions)
@@ -1042,13 +1054,16 @@ class DeviceTiledSegmentation(Node):
     class _Entry:
         """One dispatched frame group awaiting emission."""
 
-        __slots__ = ("objs", "out", "frames_dev", "dims", "key", "started",
-                     "results", "n_left")
+        __slots__ = ("objs", "out", "frames_dev", "frames_host", "dims",
+                     "key", "started", "results", "n_left")
 
-        def __init__(self, objs, out, frames_dev, dims, key):
+        def __init__(self, objs, out, frames_dev, frames_host, dims, key):
             self.objs = objs
             self.out = out
             self.frames_dev = frames_dev
+            # The stitched frames as uploaded, kept on host so crop
+            # intensity windows are sliced here instead of fetched back.
+            self.frames_host = frames_host
             self.dims = dims
             self.key = key
             self.started = None
@@ -1100,7 +1115,8 @@ class DeviceTiledSegmentation(Node):
             entry.started = (
                 stats,
                 self._start_crops(labels_dev, entry.frames_dev, stats,
-                                  entry.dims),
+                                  entry.dims,
+                                  frames_host=entry.frames_host),
             )
 
         def finish(entry):
@@ -1179,7 +1195,7 @@ class DeviceTiledSegmentation(Node):
                 copy_async = getattr(stats_fut, "copy_to_host_async", None)
                 if copy_async is not None:
                     copy_async()
-            entry = self._Entry(objs, out, imgs_dev, dims, key)
+            entry = self._Entry(objs, out, imgs_dev, imgs, dims, key)
             for b, (_, _, _, _, h) in enumerate(group):
                 h.entry = entry
                 h.slot = b
@@ -1200,6 +1216,7 @@ class DeviceTiledSegmentation(Node):
                 pending.remove(entry)
                 # Release the device buffers as soon as the group is done.
                 entry.out = entry.frames_dev = entry.started = None
+                entry.frames_host = None
             return obj
 
         def total_buffered():

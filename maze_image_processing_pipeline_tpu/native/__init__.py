@@ -32,13 +32,20 @@ def _build() -> bool:
     # check, and compiling straight onto _SO would let another process
     # dlopen a half-written library (or SIGBUS one that already mapped it).
     tmp = f"{_SO}.{os.getpid()}.tmp"
+    base = ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", tmp, "-lz"]
     try:
-        subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", tmp, "-lz"],
-            check=True,
-            capture_output=True,
-            timeout=120,
-        )
+        try:
+            # Prefer libdeflate for the PNG deflate pass (same stream
+            # format, ~2x libz encode speed); fall back to a libz-only
+            # build on systems without it.
+            subprocess.run(
+                base + ["-DHAVE_LIBDEFLATE", "-ldeflate"],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+        except (OSError, subprocess.SubprocessError):
+            subprocess.run(base, check=True, capture_output=True, timeout=120)
         os.replace(tmp, _SO)
         return True
     except (OSError, subprocess.SubprocessError) as exc:

@@ -27,7 +27,9 @@ import jax.numpy as jnp
 __all__ = ["extract_region_crops"]
 
 
-@functools.partial(jax.jit, static_argnames=("size_h", "size_w"))
+@functools.partial(
+    jax.jit, static_argnames=("size_h", "size_w", "include_intensity")
+)
 def extract_region_crops(
     frames: jnp.ndarray,
     labels: jnp.ndarray,
@@ -38,6 +40,7 @@ def extract_region_crops(
     *,
     size_h: int,
     size_w: int,
+    include_intensity: bool = True,
 ) -> jnp.ndarray:
     """Cut N fixed-size windows out of a batch of frames.
 
@@ -49,10 +52,15 @@ def extract_region_crops(
             (starts must satisfy 0 <= y0 <= H - size_h etc.; out-of-range
             starts are clamped by ``dynamic_slice`` semantics).
         size_h / size_w: static window extent.
+        include_intensity: also return the intensity windows. Callers that
+            still hold the stitched frames on the host slice intensity
+            there and fetch HALF the bytes (the crop fetch is the steady
+            loki stage's largest cost through tunneled hosts).
 
     Returns:
-        flat (2 · N · size_h · size_w,) uint8 — the N intensity windows
-        first, then the N mask windows. A mask byte packs bit 0 = pixel
+        flat uint8 — with ``include_intensity`` the N intensity windows
+        followed by the N mask windows (2 · N · size_h · size_w values),
+        otherwise the mask windows only. A mask byte packs bit 0 = pixel
         belongs to this region, bit 1 = pixel belongs to a *different*
         region (ExtractROI's "other objects" mask). One flat buffer so the
         whole batch of crops is a single device→host transfer.
@@ -60,12 +68,17 @@ def extract_region_crops(
 
     def step(_, xs):
         rid, b, y, x = xs
-        img = jax.lax.dynamic_slice(frames, (b, y, x), (1, size_h, size_w))[0]
         lab = jax.lax.dynamic_slice(labels, (b, y, x), (1, size_h, size_w))[0]
         this = lab == rid
         other = (lab > 0) & (~this)
         bits = this.astype(jnp.uint8) | (other.astype(jnp.uint8) << 1)
+        if not include_intensity:
+            return None, bits
+        img = jax.lax.dynamic_slice(frames, (b, y, x), (1, size_h, size_w))[0]
         return None, (img, bits)
 
-    _, (img_c, bit_c) = jax.lax.scan(step, None, (ids, bidx, y0, x0))
-    return jnp.concatenate([img_c.reshape(-1), bit_c.reshape(-1)])
+    if include_intensity:
+        _, (img_c, bit_c) = jax.lax.scan(step, None, (ids, bidx, y0, x0))
+        return jnp.concatenate([img_c.reshape(-1), bit_c.reshape(-1)])
+    _, bit_c = jax.lax.scan(step, None, (ids, bidx, y0, x0))
+    return bit_c.reshape(-1)
