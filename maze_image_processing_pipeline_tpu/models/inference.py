@@ -25,7 +25,7 @@ from __future__ import annotations
 import collections
 import functools
 import logging
-from typing import Any, Callable, List, Optional, Tuple
+from typing import Any, Callable, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -325,6 +325,7 @@ def _build_tiled_blend(Hb: int, Wb: int, ts: int, transfer_dtype):
 
 @ReturnOutputs
 @Output("predictions")
+@Output("seg_stats")
 class DeviceTiledInference(Node):
     """Tiled inference with ON-DEVICE linear blending (predict workload).
 
@@ -360,6 +361,8 @@ class DeviceTiledInference(Node):
         transfer_dtype: Optional[Any] = None,
         mesh: Optional[jax.sharding.Mesh] = None,
         in_flight: int = 2,
+        measure_channels: Optional[Sequence[str]] = None,
+        measure_fill_holes: Any = False,
     ) -> None:
         self.model = model
         self.image = image
@@ -369,6 +372,15 @@ class DeviceTiledInference(Node):
         self.chunk_size = max(1, chunk_size)
         self.in_flight = max(1, in_flight)
         self.transfer_dtype = transfer_dtype
+        # Fused segment measurement: the blended canvases are already in
+        # HBM, so measuring each channel there costs one dispatch per
+        # chunk bucket + a small packed fetch, replacing the host's
+        # per-object scipy pass (predict.pipeline.measure_segments) that
+        # dominated the steady semseg stage on 1-core hosts.
+        self.measure_channels = (
+            list(measure_channels) if measure_channels is not None else None
+        )
+        self.measure_fill_holes = measure_fill_holes
         super().__init__()
 
         apply_fn = model.apply
@@ -493,8 +505,29 @@ class DeviceTiledInference(Node):
             flat = blend(
                 tuple(preds), tb, ty, tx, np.asarray(N, np.int32), Bo=Bo_cap
             )
+            Cout = int(preds[0].shape[-1])
+            stats_fut = None
+            if self.measure_channels is not None:
+                from ..ops.segment_measure import measure_channels_packed
+
+                hs = np.zeros((Bo_cap,), np.int32)
+                ws = np.zeros((Bo_cap,), np.int32)
+                for bi, i in enumerate(idxs):
+                    hs[bi], ws[bi] = images[i].shape[:2]
+                fill = self.measure_fill_holes
+                fill_channels = tuple(
+                    fill is True or (fill and name in fill)
+                    for name in self.measure_channels
+                )
+                stats_fut = measure_channels_packed(
+                    flat,
+                    hs,
+                    ws,
+                    shape=(Bo_cap, Hb, Wb, Cout),
+                    fill_channels=fill_channels,
+                )
             parts.append(flat)
-            layout.append((key, idxs, Bo_cap, int(preds[0].shape[-1])))
+            layout.append((key, idxs, Bo_cap, Cout, stats_fut))
 
         # One fetch per bucket: an eager concatenate would add a distinct
         # device program per bucket-shape combination, each paying the
@@ -503,17 +536,36 @@ class DeviceTiledInference(Node):
             copy_async = getattr(part, "copy_to_host_async", None)
             if copy_async is not None:
                 copy_async()
+        for _, _, _, _, stats_fut in layout:
+            copy_async = getattr(stats_fut, "copy_to_host_async", None)
+            if copy_async is not None:
+                copy_async()
         return parts, layout
 
     def _unpack_chunk(self, parts, layout, images):
+        from ..ops.segment_measure import unpack_channel_stats
+
         results = [None] * len(images)
-        for part, (key, idxs, Bo, Cout) in zip(parts, layout):
+        stats_out = [None] * len(images)
+        for part, (key, idxs, Bo, Cout, stats_fut) in zip(parts, layout):
             Hb, Wb = key[:2]
             block = np.asarray(part).reshape(Bo, Hb, Wb, Cout)
             for bi, i in enumerate(idxs):
                 h, w = images[i].shape[:2]
                 results[i] = block[bi, :h, :w].astype(np.float32)
-        return results
+            if stats_fut is not None:
+                small, extremes = unpack_channel_stats(
+                    stats_fut, Bo, Hb, Cout
+                )
+                for bi, i in enumerate(idxs):
+                    stats_out[i] = {
+                        "raw_area": small[:, 0, bi],
+                        "area": small[:, 1, bi],
+                        "axis_major_length": small[:, 2, bi],
+                        "overflow": small[:, 3, bi] > 0,
+                        "extremes": extremes[:, bi],
+                    }
+        return results, stats_out
 
     def transform_stream(self, stream: Stream) -> Stream:
         pending = collections.deque()
@@ -530,8 +582,10 @@ class DeviceTiledInference(Node):
 
         def emit():
             objs, imgs, out, layout = pending.popleft()
-            for obj, pred in zip(objs, self._unpack_chunk(out, layout, imgs)):
+            results, stats = self._unpack_chunk(out, layout, imgs)
+            for obj, pred, st in zip(objs, results, stats):
                 obj[self.output_vars[0]] = pred
+                obj[self.output_vars[1]] = st
                 yield obj
 
         with closing_if_closable(stream):

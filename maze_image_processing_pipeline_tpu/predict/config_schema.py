@@ -113,12 +113,15 @@ class SegmentationConfig(TrueToDefaultsModel):
     device: bool | Literal["auto"] = Field(
         "auto",
         description=(
-            "Measure channel segments batched on the accelerator "
-            "(BatchedSegmentMeasure). Wins on locally attached TPUs; on "
-            "remote-tunnel hosts the per-bucket dispatch latency makes the "
-            "host path faster (BASELINE.md). 'auto' probes the dispatch "
-            "round-trip once and picks accordingly. Ignored when draw is "
-            "true."
+            "Measure channel segments on the accelerator. With "
+            "tiling.device_blend (the default) measurement is FUSED into "
+            "the blend program — the canvases are already on the device, "
+            "so 'auto' and true both use it, on any host. Without "
+            "device_blend, masks must be re-uploaded "
+            "(BatchedSegmentMeasure): that wins on locally attached TPUs "
+            "but loses through remote tunnels, so 'auto' probes the "
+            "dispatch round-trip once and picks accordingly. false always "
+            "keeps the reference's host path. Ignored when draw is true."
         ),
     )
 

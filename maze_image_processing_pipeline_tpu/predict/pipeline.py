@@ -690,6 +690,7 @@ class Runner(PipelineRunner):
             )
 
             tiling = config.model.tiling
+            seg_stats = None
             if tiling is not False and tiling.device_blend:
                 # Fused device path: each object's tile grid (the same grid
                 # TiledPipeline would build) is extracted, inferred, and
@@ -705,7 +706,19 @@ class Runner(PipelineRunner):
                         "to use host thread parallelism.",
                         config.model.n_threads,
                     )
-                predictions = DeviceTiledInference(
+                # Fused measurement: the blended canvases are already on
+                # the device, so channel measurement there has no upload
+                # cost — unlike BatchedSegmentMeasure, it wins even
+                # through remote tunnels. segmentation.device: false
+                # still forces the host path.
+                fused_measure = (
+                    config.segmentation is not False
+                    and config.segmentation
+                    and not config.segmentation.draw
+                    and config.segmentation.device is not False
+                    and output_description.channel_names is not None
+                )
+                predictions, seg_stats = DeviceTiledInference(
                     model,
                     image,
                     tile_size=tiling.size,
@@ -713,7 +726,17 @@ class Runner(PipelineRunner):
                     batch_size=config.model.batch_size or 8,
                     mesh=mesh,
                     transfer_dtype=transfer_dtype,
+                    measure_channels=(
+                        list(output_description.channel_names)
+                        if fused_measure
+                        else None
+                    ),
+                    measure_fill_holes=(
+                        config.segmentation.fill_holes if fused_measure else False
+                    ),
                 )
+                if not fused_measure:
+                    seg_stats = None
             else:
                 with contextlib.ExitStack() as stack:
                     if tiling is not False:
@@ -785,7 +808,68 @@ class Runner(PipelineRunner):
 
                 from ..parallel.probe import resolve_device_flag
 
-                if config.segmentation.draw or not resolve_device_flag(
+                if seg_stats is not None:
+                    # Measurement already ran fused into the device blend;
+                    # assemble the meta (plus exact convex hull from the
+                    # fetched row extremes) on host. Overflowing masks
+                    # (more components than the one-hot bounds) fall back
+                    # to the host path per object+channel.
+                    channel_names = list(output_description.channel_names)
+                    fill_holes = config.segmentation.fill_holes
+
+                    def _fused_meta(meta, stats, probs):
+                        from ..ops.segment_measure import (
+                            convex_area_from_extremes,
+                        )
+
+                        meta = {
+                            k: v
+                            for k, v in dict(meta).items()
+                            if k.split("_", maxsplit=1)[0] in VALID_PREFIXES
+                        }
+                        for c, name in enumerate(channel_names):
+                            if stats is None or stats["overflow"][c]:
+                                host_meta, _ = measure_segments(
+                                    {},
+                                    None,
+                                    probs[..., c : c + 1],
+                                    [name],
+                                    False,
+                                    fill_holes=fill_holes,
+                                )
+                                meta.update(host_meta)
+                                continue
+                            meta[f"object_{name}_raw_area"] = int(
+                                stats["raw_area"][c]
+                            )
+                            area = float(stats["area"][c])
+                            if area > 0:
+                                convex = convex_area_from_extremes(
+                                    stats["extremes"][c], probs.shape[:2]
+                                )
+                                meta[f"object_{name}_area"] = area
+                                meta[f"object_{name}_axis_major_length"] = float(
+                                    stats["axis_major_length"][c]
+                                )
+                                meta[f"object_{name}_area_convex"] = convex
+                                meta[f"object_{name}_area_convex_ratio"] = (
+                                    area / convex if convex else 0
+                                )
+                            else:
+                                meta[f"object_{name}_area"] = 0
+                                meta[f"object_{name}_axis_major_length"] = 0
+                                meta[f"object_{name}_area_convex"] = 0
+                                meta[f"object_{name}_area_convex_ratio"] = 0
+                        return meta
+
+                    meta = Call(
+                        _fused_meta,
+                        Call(lambda o: o.meta, et_obj),
+                        seg_stats,
+                        predictions,
+                    )
+                    fnames_images = []
+                elif config.segmentation.draw or not resolve_device_flag(
                     config.segmentation.device
                 ):
                     # Overlay drawing needs the masks on host; the host path

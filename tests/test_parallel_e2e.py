@@ -126,7 +126,7 @@ def test_device_tiled_inference_mesh_matches_single(tmp_path):
         out = []
         with Pipeline() as pl:
             img = Unpack(crops)
-            pred = DeviceTiledInference(
+            pred, _ = DeviceTiledInference(
                 model, img, tile_size=64, tile_stride=48, batch_size=2,
                 mesh=mesh,
             )

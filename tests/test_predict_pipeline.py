@@ -491,7 +491,7 @@ def test_device_tiled_inference_uint16_inputs(tmp_path, rng):
         out = []
         with Pipeline() as pl:
             img = Unpack(crops)
-            pred = DeviceTiledInference(
+            pred, _ = DeviceTiledInference(
                 model, img, tile_size=64, tile_stride=48, batch_size=2
             )
             Call(lambda p: out.append(np.asarray(p)), pred)
@@ -541,3 +541,96 @@ def test_batched_segment_measure_overflow_falls_back_to_host(rng):
         out[0]["object_ch_axis_major_length"]
         == pytest.approx(host_meta["object_ch_axis_major_length"], rel=1e-3)
     )
+
+
+def test_fused_measure_overflow_falls_back_to_host(tmp_path, rng):
+    """The DeviceTiledInference fused measurement signals overflow when a
+    channel has more components than the one-hot bound; the pipeline must
+    then report the host-measured values for that object."""
+    import jax.numpy as jnp
+
+    from maze_image_processing_pipeline_tpu.models.inference import (
+        DeviceTiledInference,
+    )
+    from maze_image_processing_pipeline_tpu.models.model_io import LoadedModel
+
+    # An "identity" model: sigmoid(post) of a huge logit where the input
+    # is bright — so the prediction mask equals the input's bright mask
+    # and we control the component count exactly.
+    class Passthrough:
+        def apply(self, params, x):
+            return (x[..., :1] - 0.4) * 50.0
+
+    crop = np.zeros((64, 160), np.uint8)
+    for k in range(20):  # 20 specks (raster ids 1..20)
+        crop[2, 3 + 7 * k] = 255
+    crop[30:42, 30:42] = 255  # the true largest component, id 21 > 16
+
+    model = LoadedModel(Passthrough(), {}, {})
+
+    out = []
+    with Pipeline() as pl:
+        img = Unpack([crop])
+        pred, stats = DeviceTiledInference(
+            model, img, tile_size=64, tile_stride=48, batch_size=2,
+            measure_channels=["ch"], measure_fill_holes=False,
+        )
+        Call(lambda p, s: out.append((p, s)), pred, stats)
+    pl.run()
+
+    p, s = out[0]
+    assert s is not None and bool(s["overflow"][0])
+    # Host fallback (what predict.pipeline._fused_meta does on overflow):
+    from maze_image_processing_pipeline_tpu.predict.pipeline import (
+        measure_segments,
+    )
+
+    host_meta, _ = measure_segments({}, None, p[..., :1], ["ch"], False)
+    assert host_meta["object_ch_area"] == 144.0
+
+
+def test_segmentation_device_false_forces_host_path(tmp_path, rng):
+    """segmentation.device: false must keep the host measure_segments path
+    even with device_blend tiling — outputs stay identical either way."""
+    archive_fn, crops = make_input_archive(tmp_path, rng, n=3, size=64)
+    model_dir = str(tmp_path / "unet")
+    module = UNet(out_channels=2, base_features=4, depth=1, dtype=jnp.float32)
+    params = module.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
+    save_model(
+        model_dir, module, params,
+        outputs={"pred": {"channel_names": ["prosoma", "oilsack"]}},
+    )
+
+    def run(device, out):
+        target_dir = str(tmp_path / out)
+        Runner._configure_and_run(
+            {
+                "input": {"path": archive_fn},
+                "model": {
+                    "model_fn": model_dir,
+                    "dtype": "float32",
+                    "batch_size": 2,
+                    "tiling": {"size": 64, "stride": 48},
+                },
+                "segmentation": {
+                    "draw": False, "fill_holes": True, "device": device,
+                },
+                "target_dir": target_dir,
+            }
+        )
+        return read_tsv(
+            Archive(os.path.join(target_dir, "crops.segmentation.zip"))
+            / "ecotaxa_export.tsv"
+        )
+
+    df_fused = run(True, "out_fused")
+    df_host = run(False, "out_host")
+    cols = [c for c in df_host.columns if "_area" in c or "axis" in c]
+    assert cols
+    for col in cols:
+        np.testing.assert_allclose(
+            df_fused[col].to_numpy(np.float64),
+            df_host[col].to_numpy(np.float64),
+            rtol=1e-5,
+            err_msg=col,
+        )
