@@ -5,17 +5,33 @@ The semseg capability of the reference (copepod prosoma / oil-sac masks,
 TPU: NHWC layout feeds the MXU's native conv tiling; GroupNorm keeps the
 model batch-size independent (inference batches vary); compute dtype is
 configurable (bf16 for inference/training, f32 reference).
+
+Level 0 computes in the PHASE-MAJOR domain by default (``s2d=True``,
+:mod:`.s2d`): its 32-channel convs at full resolution run at ~10% MXU
+utilization (XLA's small-channel conv path), while the mathematically
+identical phase-packed form — 128 channels at half resolution — runs
+compute-bound (tools/perf_conv.py, BASELINE.md round-3). Parameters are
+canonical either way; ``s2d`` only changes the evaluation order, so any
+checkpoint runs with either setting.
 """
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
 from .layers import GroupNorm
+from .s2d import (
+    S2DConv,
+    S2DGroupNorm,
+    depth_to_space,
+    phase_max,
+    phase_repeat,
+    space_to_depth,
+)
 
 __all__ = ["UNet"]
 
@@ -24,15 +40,29 @@ class ConvBlock(nn.Module):
     features: int
     dtype: Any = jnp.bfloat16
     norm: bool = True
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, x):
-        for _ in range(2):
-            x = nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype)(x)
+        # Explicit module names keep the parameter tree identical between
+        # the full-resolution and phase-major evaluations (auto-naming
+        # counts per class, and the two paths use different classes).
+        for k in range(2):
+            if self.s2d:
+                x = S2DConv(self.features, (3, 3), dtype=self.dtype,
+                            name=f"Conv_{k}")(x)
+            else:
+                x = nn.Conv(self.features, (3, 3), padding="SAME",
+                            dtype=self.dtype, name=f"Conv_{k}")(x)
             if self.norm:
-                x = GroupNorm(
-                    num_groups=min(8, self.features), dtype=self.dtype
-                )(x)
+                groups = min(8, self.features)
+                if self.s2d:
+                    x = S2DGroupNorm(self.features, num_groups=groups,
+                                     dtype=self.dtype,
+                                     name=f"GroupNorm_{k}")(x)
+                else:
+                    x = GroupNorm(num_groups=groups, dtype=self.dtype,
+                                  name=f"GroupNorm_{k}")(x)
             x = nn.relu(x)
         return x
 
@@ -46,6 +76,10 @@ class UNet(nn.Module):
         base_features: channel width of the first stage; doubles per stage.
         depth: number of down/up-sampling stages.
         dtype: compute dtype (params stay f32; activations cast).
+        norm: GroupNorm after every conv.
+        s2d: evaluate level 0 phase-major (exact same math, ~2x faster on
+            TPU at 32-channel widths; see module docstring). Requires even
+            input extents (any tiled/pow2 pipeline input qualifies).
     """
 
     out_channels: int = 2
@@ -53,32 +87,65 @@ class UNet(nn.Module):
     depth: int = 4
     dtype: Any = jnp.bfloat16
     norm: bool = True
+    s2d: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         """(B, H, W, C) → (B, H, W, out_channels) logits (f32)."""
         x = x.astype(self.dtype)
+        s2d = self.s2d and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
 
         skips = []
         for i in range(self.depth):
-            x = ConvBlock(self.base_features * 2**i, self.dtype, self.norm)(x)
-            skips.append(x)
-            x = nn.max_pool(x, (2, 2), strides=(2, 2))
+            blk = ConvBlock(
+                self.base_features * 2**i, self.dtype, self.norm,
+                s2d=s2d and i == 0, name=f"ConvBlock_{i}",
+            )
+            if s2d and i == 0:
+                x = blk(space_to_depth(x))
+                skips.append(x)  # phase-major skip
+                x = phase_max(x)  # == 2x2/stride-2 max pool, full res
+            else:
+                x = blk(x)
+                skips.append(x)
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))
 
-        x = ConvBlock(self.base_features * 2**self.depth, self.dtype, self.norm)(x)
+        x = ConvBlock(
+            self.base_features * 2**self.depth, self.dtype, self.norm,
+            name=f"ConvBlock_{self.depth}",
+        )(x)
 
         for i in reversed(range(self.depth)):
-            B, H, W, C = x.shape
-            # 2x nearest upsample as broadcast+reshape: jax.image.resize
-            # lowers to gathers on TPU (~100x the cost of a reshape copy).
-            x = jnp.broadcast_to(
-                x[:, :, None, :, None, :], (B, H, 2, W, 2, C)
-            ).reshape(B, H * 2, W * 2, C)
-            x = nn.Conv(
-                self.base_features * 2**i, (2, 2), padding="SAME", dtype=self.dtype
-            )(x)
-            x = jnp.concatenate([skips[i], x], axis=-1)
-            x = ConvBlock(self.base_features * 2**i, self.dtype, self.norm)(x)
+            up_name = f"Conv_{self.depth - 1 - i}"
+            blk_name = f"ConvBlock_{2 * self.depth - i}"
+            if s2d and i == 0:
+                x = phase_repeat(x)  # == 2x nearest upsample, full res
+                x = S2DConv(self.base_features, (2, 2), dtype=self.dtype,
+                            name=up_name)(x)
+                x = jnp.concatenate([skips[0], x], axis=-1)
+                x = ConvBlock(self.base_features, self.dtype, self.norm,
+                              s2d=True, name=blk_name)(x)
+            else:
+                B, H, W, C = x.shape
+                # 2x nearest upsample as broadcast+reshape:
+                # jax.image.resize lowers to gathers on TPU (~100x the
+                # cost of a reshape copy).
+                x = jnp.broadcast_to(
+                    x[:, :, None, :, None, :], (B, H, 2, W, 2, C)
+                ).reshape(B, H * 2, W * 2, C)
+                x = nn.Conv(self.base_features * 2**i, (2, 2),
+                            padding="SAME", dtype=self.dtype,
+                            name=up_name)(x)
+                x = jnp.concatenate([skips[i], x], axis=-1)
+                x = ConvBlock(self.base_features * 2**i, self.dtype,
+                              self.norm, name=blk_name)(x)
 
-        logits = nn.Conv(self.out_channels, (1, 1), dtype=jnp.float32)(x)
+        head_name = f"Conv_{self.depth}"
+        if s2d:
+            logits4 = S2DConv(self.out_channels, (1, 1), dtype=jnp.float32,
+                              name=head_name)(x)
+            logits = depth_to_space(logits4)
+        else:
+            logits = nn.Conv(self.out_channels, (1, 1), dtype=jnp.float32,
+                             name=head_name)(x)
         return logits.astype(jnp.float32)

@@ -380,3 +380,48 @@ def test_import_torch_state_dict_rejects_unconsumed_params():
     bn = nn.BatchNorm2d(4)  # weight, bias, running_mean, running_var
     with pytest.raises(ValueError, match="running_mean"):
         import_torch_state_dict(bn.state_dict(), fparams)
+
+
+def test_unet_s2d_matches_full_resolution():
+    """The phase-major (s2d) level-0 evaluation is the SAME function as
+    the full-resolution one: identical parameter tree, identical init,
+    equal outputs up to f32 rounding (models/s2d.py derivation)."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((2, 32, 48, 3)), jnp.float32)
+    for depth in (1, 3):
+        full = UNet(out_channels=2, base_features=8, depth=depth,
+                    dtype=jnp.float32, s2d=False)
+        phase = UNet(out_channels=2, base_features=8, depth=depth,
+                     dtype=jnp.float32, s2d=True)
+        p = full.init(jax.random.key(0), x)
+        p2 = phase.init(jax.random.key(0), x)
+        assert jax.tree_util.tree_structure(p) == jax.tree_util.tree_structure(p2)
+        for a, b in zip(jax.tree_util.tree_leaves(p), jax.tree_util.tree_leaves(p2)):
+            np.testing.assert_array_equal(a, b)
+        np.testing.assert_allclose(
+            full.apply(p, x), phase.apply(p, x), atol=1e-4, rtol=1e-4
+        )
+
+
+def test_unet_s2d_gradients_match():
+    """Training through the phase-major path yields the same gradients."""
+    import numpy as np
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.random((1, 16, 16, 3)), jnp.float32)
+    y = jnp.asarray(rng.random((1, 16, 16, 2)), jnp.float32)
+
+    def loss(module, p):
+        return jnp.mean((module.apply(p, x) - y) ** 2)
+
+    full = UNet(out_channels=2, base_features=8, depth=1,
+                dtype=jnp.float32, s2d=False)
+    phase = UNet(out_channels=2, base_features=8, depth=1,
+                 dtype=jnp.float32, s2d=True)
+    p = full.init(jax.random.key(0), x)
+    gf = jax.grad(lambda p: loss(full, p))(p)
+    gp = jax.grad(lambda p: loss(phase, p))(p)
+    for a, b in zip(jax.tree_util.tree_leaves(gf), jax.tree_util.tree_leaves(gp)):
+        np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-3)
