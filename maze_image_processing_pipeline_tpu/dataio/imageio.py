@@ -36,6 +36,22 @@ def decode_image(data: bytes, mode: Optional[str] = None) -> np.ndarray:
         data: encoded bytes (PNG/JPEG/BMP/...).
         mode: "L" grayscale, "RGB", or None (native channels).
     """
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        # Native PNG decode (libdeflate inflate + unfilter): measured
+        # 2-3x cv2.imdecode on vignette-size crops — both the LOKI input
+        # builder and the predict EcotaxaReader decode PNGs on their
+        # hottest host loop. Unsupported variants (16-bit, palette,
+        # interlaced) return None and fall through.
+        from .. import native
+
+        img = native.png_decode(data)
+        if img is not None and not (mode == "L" and img.ndim == 3):
+            # (grayscale-from-color falls through to cv2 for its exact
+            # BT.601 weights)
+            if mode == "RGB" and img.ndim == 2:
+                img = np.stack([img] * 3, axis=-1)
+            return img
+
     if not _HAS_CV2 and data[:2] == b"BM":
         from .. import native
 

@@ -506,9 +506,13 @@ class DeviceTiledInference(Node):
                 tuple(preds), tb, ty, tx, np.asarray(N, np.int32), Bo=Bo_cap
             )
             Cout = int(preds[0].shape[-1])
-            stats_fut = None
-            if self.measure_channels is not None:
-                from ..ops.segment_measure import measure_channels_packed
+            with_stats = self.measure_channels is not None
+            if with_stats:
+                # Measurement runs on the canvas IN HBM, and the stats
+                # ride back inside the same buffer — one fetch per bucket
+                # (a separate stats array would pay one more fixed-latency
+                # fetch per chunk through tunneled hosts).
+                from ..ops.segment_measure import measure_channels_with_canvas
 
                 hs = np.zeros((Bo_cap,), np.int32)
                 ws = np.zeros((Bo_cap,), np.int32)
@@ -519,7 +523,7 @@ class DeviceTiledInference(Node):
                     fill is True or (fill and name in fill)
                     for name in self.measure_channels
                 )
-                stats_fut = measure_channels_packed(
+                flat = measure_channels_with_canvas(
                     flat,
                     hs,
                     ws,
@@ -527,7 +531,7 @@ class DeviceTiledInference(Node):
                     fill_channels=fill_channels,
                 )
             parts.append(flat)
-            layout.append((key, idxs, Bo_cap, Cout, stats_fut))
+            layout.append((key, idxs, Bo_cap, Cout, with_stats))
 
         # One fetch per bucket: an eager concatenate would add a distinct
         # device program per bucket-shape combination, each paying the
@@ -536,26 +540,18 @@ class DeviceTiledInference(Node):
             copy_async = getattr(part, "copy_to_host_async", None)
             if copy_async is not None:
                 copy_async()
-        for _, _, _, _, stats_fut in layout:
-            copy_async = getattr(stats_fut, "copy_to_host_async", None)
-            if copy_async is not None:
-                copy_async()
         return parts, layout
 
     def _unpack_chunk(self, parts, layout, images):
-        from ..ops.segment_measure import unpack_channel_stats
+        from ..ops.segment_measure import split_canvas_stats
 
         results = [None] * len(images)
         stats_out = [None] * len(images)
-        for part, (key, idxs, Bo, Cout, stats_fut) in zip(parts, layout):
+        for part, (key, idxs, Bo, Cout, with_stats) in zip(parts, layout):
             Hb, Wb = key[:2]
-            block = np.asarray(part).reshape(Bo, Hb, Wb, Cout)
-            for bi, i in enumerate(idxs):
-                h, w = images[i].shape[:2]
-                results[i] = block[bi, :h, :w].astype(np.float32)
-            if stats_fut is not None:
-                small, extremes = unpack_channel_stats(
-                    stats_fut, Bo, Hb, Cout
+            if with_stats:
+                block, small, extremes = split_canvas_stats(
+                    part, Bo, Hb, Wb, Cout
                 )
                 for bi, i in enumerate(idxs):
                     stats_out[i] = {
@@ -565,6 +561,11 @@ class DeviceTiledInference(Node):
                         "overflow": small[:, 3, bi] > 0,
                         "extremes": extremes[:, bi],
                     }
+            else:
+                block = np.asarray(part).reshape(Bo, Hb, Wb, Cout)
+            for bi, i in enumerate(idxs):
+                h, w = images[i].shape[:2]
+                results[i] = block[bi, :h, :w].astype(np.float32)
         return results, stats_out
 
     def transform_stream(self, stream: Stream) -> Stream:

@@ -80,6 +80,9 @@ class UNet(nn.Module):
         s2d: evaluate level 0 phase-major (exact same math, ~2x faster on
             TPU at 32-channel widths; see module docstring). Requires even
             input extents (any tiled/pow2 pipeline input qualifies).
+        s2d_min_pixels: spatial size from which the phase-major path is
+            used (measured crossover; below it the layout transposes cost
+            more than the conv win).
     """
 
     out_channels: int = 2
@@ -88,12 +91,23 @@ class UNet(nn.Module):
     dtype: Any = jnp.bfloat16
     norm: bool = True
     s2d: bool = True
+    s2d_min_pixels: int = 512 * 512
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         """(B, H, W, C) → (B, H, W, out_channels) logits (f32)."""
         x = x.astype(self.dtype)
-        s2d = self.s2d and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
+        # Crossover measured on v5e (BASELINE.md round-3): phase-major wins
+        # from 512^2 up (1024^2 b8: 90 -> 68 ms; 512^2 b8: 21 -> 17) and
+        # loses below (256^2 b256: 77 -> 111 — the transposes dominate once
+        # the convs stop being im2col-bound). Traced per shape, so each
+        # bucket gets the right path automatically.
+        s2d = (
+            self.s2d
+            and x.shape[1] % 2 == 0
+            and x.shape[2] % 2 == 0
+            and x.shape[1] * x.shape[2] >= self.s2d_min_pixels
+        )
 
         skips = []
         for i in range(self.depth):

@@ -91,6 +91,20 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int,
             ctypes.c_void_p,
         ]
+        lib.png_probe.restype = ctypes.c_int
+        lib.png_probe.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.png_decode.restype = ctypes.c_int
+        lib.png_decode.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_size_t,
+            ctypes.c_void_p,
+        ]
         lib.png_encoded_bound.restype = ctypes.c_size_t
         lib.png_encoded_bound.argtypes = [ctypes.c_int, ctypes.c_int, ctypes.c_int]
         lib.png_encode.restype = ctypes.c_size_t
@@ -206,6 +220,26 @@ def bmp8_encode(image: np.ndarray) -> Optional[bytes]:
         image.ctypes.data_as(ctypes.c_void_p), h, w, ctypes.cast(buf, ctypes.c_void_p)
     )
     return buf.raw[:n]
+
+
+def png_decode(data: bytes) -> Optional[np.ndarray]:
+    """Decode an 8-bit gray/RGB non-interlaced PNG; None when unsupported
+    (caller falls back to cv2/PIL)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    c = ctypes.c_int()
+    if lib.png_probe(data, len(data), ctypes.byref(h), ctypes.byref(w), ctypes.byref(c)):
+        return None
+    shape: Tuple[int, ...] = (
+        (h.value, w.value) if c.value == 1 else (h.value, w.value, c.value)
+    )
+    out = np.empty(shape, np.uint8)
+    if lib.png_decode(data, len(data), out.ctypes.data_as(ctypes.c_void_p)):
+        return None
+    return out
 
 
 def png_encode(image: np.ndarray, level: int = 1) -> Optional[bytes]:

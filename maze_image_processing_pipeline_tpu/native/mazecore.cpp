@@ -196,10 +196,16 @@ inline uint8_t* put_chunk(uint8_t* out, const char* type, const uint8_t* data,
 
 extern "C" {
 
-// Worst-case output size for png_encode.
+// Worst-case output size for png_encode. libdeflate's stored-block bound
+// exceeds zlib's compressBound on small payloads, so take both.
 size_t png_encoded_bound(int height, int width, int channels) {
     size_t raw = (static_cast<size_t>(width) * channels + 1) * height;
-    return 8 + 25 + 12 + compressBound(static_cast<uLong>(raw)) + 12 + 64;
+    size_t bound = compressBound(static_cast<uLong>(raw));
+#ifdef HAVE_LIBDEFLATE
+    size_t lb = libdeflate_zlib_compress_bound(nullptr, raw);
+    if (lb > bound) bound = lb;
+#endif
+    return 8 + 25 + 12 + bound + 12 + 64;
 }
 
 // Encode 8-bit grayscale (channels=1) or RGB (channels=3) as PNG.
@@ -229,6 +235,12 @@ size_t png_encode(const uint8_t* img, int height, int width, int channels,
     }
 
     uLongf comp_len = compressBound(static_cast<uLong>(raw_len));
+#ifdef HAVE_LIBDEFLATE
+    {
+        size_t lb = libdeflate_zlib_compress_bound(nullptr, raw_len);
+        if (lb > comp_len) comp_len = static_cast<uLongf>(lb);
+    }
+#endif
     uint8_t* comp = static_cast<uint8_t*>(std::malloc(comp_len));
     if (!comp) {
         std::free(raw);
@@ -281,6 +293,175 @@ size_t png_encode(const uint8_t* img, int height, int width, int channels,
     p = put_chunk(p, "IEND", nullptr, 0);
     std::free(comp);
     return static_cast<size_t>(p - out);
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// PNG decoder (8-bit grayscale / RGB, non-interlaced).
+//
+// Both workloads decode PNGs on their hottest host loops: the LOKI input
+// builder reads the camera's per-object vignettes, and the predict
+// pipelines re-read the crops the loki export wrote. This single-purpose
+// decoder (chunk walk -> one inflate -> unfilter) skips the general codec
+// machinery; anything it does not support (16-bit, palette, interlaced)
+// returns nonzero and the caller falls back to cv2.
+
+namespace {
+
+inline uint32_t rd32be(const uint8_t* p) {
+    return (static_cast<uint32_t>(p[0]) << 24) |
+           (static_cast<uint32_t>(p[1]) << 16) |
+           (static_cast<uint32_t>(p[2]) << 8) | p[3];
+}
+
+inline uint8_t paeth(int a, int b, int c) {
+    int p = a + b - c;
+    int pa = p > a ? p - a : a - p;
+    int pb = p > b ? p - b : b - p;
+    int pc = p > c ? p - c : c - p;
+    if (pa <= pb && pa <= pc) return static_cast<uint8_t>(a);
+    if (pb <= pc) return static_cast<uint8_t>(b);
+    return static_cast<uint8_t>(c);
+}
+
+static const uint8_t kPngSig[8] = {0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n'};
+
+// Walk the chunk list; returns 0 and fills the geometry + the
+// concatenated IDAT payload bounds on success.
+int png_parse(const uint8_t* data, size_t len, int* height, int* width,
+              int* channels) {
+    if (len < 8 + 25 || std::memcmp(data, kPngSig, 8) != 0) return 1;
+    const uint8_t* p = data + 8;
+    const uint8_t* end = data + len;
+    if (end - p < 25 || std::memcmp(p + 4, "IHDR", 4) != 0) return 1;
+    uint32_t w = rd32be(p + 8), h = rd32be(p + 12);
+    uint8_t bitdepth = p[16], colortype = p[17], comp = p[18], filt = p[19],
+            interlace = p[20];
+    if (bitdepth != 8 || comp != 0 || filt != 0 || interlace != 0) return 2;
+    int ch;
+    if (colortype == 0) ch = 1;
+    else if (colortype == 2) ch = 3;
+    else return 2;  // palette/alpha -> fall back
+    if (!w || !h || w > (1u << 24) || h > (1u << 24)) return 1;
+    *height = static_cast<int>(h);
+    *width = static_cast<int>(w);
+    *channels = ch;
+    return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Query PNG dimensions. 0 = supported; nonzero = caller falls back.
+int png_probe(const uint8_t* data, size_t len, int* height, int* width,
+              int* channels) {
+    return png_parse(data, len, height, width, channels);
+}
+
+// Decode into out (height*width*channels bytes). 0 on success.
+int png_decode(const uint8_t* data, size_t len, uint8_t* out) {
+    int h, w, ch;
+    if (png_parse(data, len, &h, &w, &ch)) return 1;
+    size_t row = static_cast<size_t>(w) * ch;
+    size_t raw_len = (row + 1) * h;
+
+    // Concatenate IDAT payloads (encoders may split the stream).
+    uint8_t* zbuf = nullptr;
+    size_t zlen = 0, zcap = 0;
+    const uint8_t* p = data + 8;
+    const uint8_t* end = data + len;
+    while (end - p >= 12) {
+        uint32_t clen = rd32be(p);
+        if (static_cast<size_t>(end - p) < 12 + static_cast<size_t>(clen))
+            break;
+        if (std::memcmp(p + 4, "IDAT", 4) == 0) {
+            if (zlen + clen > zcap) {
+                zcap = (zlen + clen) * 2 + 1024;
+                uint8_t* nb = static_cast<uint8_t*>(std::realloc(zbuf, zcap));
+                if (!nb) { std::free(zbuf); return 1; }
+                zbuf = nb;
+            }
+            std::memcpy(zbuf + zlen, p + 8, clen);
+            zlen += clen;
+        } else if (std::memcmp(p + 4, "IEND", 4) == 0) {
+            break;
+        }
+        p += 12 + clen;
+    }
+    if (!zlen) { std::free(zbuf); return 1; }
+
+    uint8_t* raw = static_cast<uint8_t*>(std::malloc(raw_len));
+    if (!raw) { std::free(zbuf); return 1; }
+    int ok = 0;
+#ifdef HAVE_LIBDEFLATE
+    {
+        static thread_local libdeflate_decompressor* dec =
+            libdeflate_alloc_decompressor();
+        size_t got = 0;
+        ok = dec && libdeflate_zlib_decompress(dec, zbuf, zlen, raw, raw_len,
+                                               &got) == LIBDEFLATE_SUCCESS &&
+             got == raw_len;
+    }
+#else
+    {
+        uLongf dlen = raw_len;
+        ok = uncompress(raw, &dlen, zbuf, static_cast<uLong>(zlen)) == Z_OK &&
+             dlen == raw_len;
+    }
+#endif
+    std::free(zbuf);
+    if (!ok) { std::free(raw); return 1; }
+
+    // Unfilter scanline by scanline straight into the output.
+    int bpp = ch;
+    for (int y = 0; y < h; ++y) {
+        const uint8_t* src = raw + static_cast<size_t>(y) * (row + 1);
+        uint8_t f = src[0];
+        ++src;
+        uint8_t* dst = out + static_cast<size_t>(y) * row;
+        const uint8_t* prev = y ? dst - row : nullptr;
+        switch (f) {
+            case 0:  // None
+                std::memcpy(dst, src, row);
+                break;
+            case 1:  // Sub
+                for (size_t x = 0; x < row; ++x)
+                    dst[x] = static_cast<uint8_t>(
+                        src[x] + (x >= static_cast<size_t>(bpp)
+                                      ? dst[x - bpp] : 0));
+                break;
+            case 2:  // Up
+                if (prev)
+                    for (size_t x = 0; x < row; ++x)
+                        dst[x] = static_cast<uint8_t>(src[x] + prev[x]);
+                else
+                    std::memcpy(dst, src, row);
+                break;
+            case 3:  // Average
+                for (size_t x = 0; x < row; ++x) {
+                    int a = x >= static_cast<size_t>(bpp) ? dst[x - bpp] : 0;
+                    int b = prev ? prev[x] : 0;
+                    dst[x] = static_cast<uint8_t>(src[x] + ((a + b) >> 1));
+                }
+                break;
+            case 4:  // Paeth
+                for (size_t x = 0; x < row; ++x) {
+                    int a = x >= static_cast<size_t>(bpp) ? dst[x - bpp] : 0;
+                    int b = prev ? prev[x] : 0;
+                    int c = (prev && x >= static_cast<size_t>(bpp))
+                                ? prev[x - bpp] : 0;
+                    dst[x] = static_cast<uint8_t>(src[x] + paeth(a, b, c));
+                }
+                break;
+            default:
+                std::free(raw);
+                return 1;
+        }
+    }
+    std::free(raw);
+    return 0;
 }
 
 }  // extern "C"

@@ -235,6 +235,59 @@ def measure_channels_packed(
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "shape",
+        "fill_channels",
+        "num_segments",
+        "n_bg_segments",
+    ),
+)
+def measure_channels_with_canvas(
+    flat: jnp.ndarray,
+    hs: jnp.ndarray,
+    ws: jnp.ndarray,
+    *,
+    shape: Tuple[int, int, int, int],
+    fill_channels: Tuple[bool, ...],
+    num_segments: int = 16,
+    n_bg_segments: int = 32,
+) -> jnp.ndarray:
+    """:func:`measure_channels_packed`, with the canvas CARRIED in the
+    output: returns ``concat([flat, stats])`` so the caller fetches ONE
+    buffer per chunk bucket instead of two (each extra fetch costs fixed
+    dispatch latency through tunneled hosts — the separate stats fetch
+    measured ~0.7 s per 332-object haul). When the canvas rides at
+    float16, the float32 stats are BITCAST into pairs of f16 lanes
+    (exact; :func:`split_canvas_stats` reverses it)."""
+    stats = measure_channels_packed(
+        flat,
+        hs,
+        ws,
+        shape=shape,
+        fill_channels=fill_channels,
+        num_segments=num_segments,
+        n_bg_segments=n_bg_segments,
+    )
+    if flat.dtype != jnp.float32:
+        stats = jax.lax.bitcast_convert_type(stats, flat.dtype).reshape(-1)
+    return jnp.concatenate([flat, stats])
+
+
+def split_canvas_stats(buf: np.ndarray, Bo: int, Hb: int, Wb: int, C: int):
+    """Decode :func:`measure_channels_with_canvas`'s buffer →
+    (canvas (Bo, Hb, Wb, C), small (C, 4, Bo), extremes (C, Bo, Hb, 3))."""
+    buf = np.asarray(buf)
+    n_canvas = Bo * Hb * Wb * C
+    canvas = buf[:n_canvas].reshape(Bo, Hb, Wb, C)
+    stats = buf[n_canvas:]
+    if stats.dtype != np.float32:
+        stats = np.ascontiguousarray(stats).view(np.float32)
+    small, extremes = unpack_channel_stats(stats, Bo, Hb, C)
+    return canvas, small, extremes
+
+
 def unpack_channel_stats(flat: np.ndarray, Bo: int, Hb: int, C: int):
     """Decode :func:`measure_channels_packed`'s buffer →
     (small (C, 4, Bo) float32, extremes (C, Bo, Hb, 3) float32)."""

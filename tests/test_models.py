@@ -394,7 +394,7 @@ def test_unet_s2d_matches_full_resolution():
         full = UNet(out_channels=2, base_features=8, depth=depth,
                     dtype=jnp.float32, s2d=False)
         phase = UNet(out_channels=2, base_features=8, depth=depth,
-                     dtype=jnp.float32, s2d=True)
+                     dtype=jnp.float32, s2d=True, s2d_min_pixels=0)
         p = full.init(jax.random.key(0), x)
         p2 = phase.init(jax.random.key(0), x)
         assert jax.tree_util.tree_structure(p) == jax.tree_util.tree_structure(p2)
@@ -419,7 +419,7 @@ def test_unet_s2d_gradients_match():
     full = UNet(out_channels=2, base_features=8, depth=1,
                 dtype=jnp.float32, s2d=False)
     phase = UNet(out_channels=2, base_features=8, depth=1,
-                 dtype=jnp.float32, s2d=True)
+                 dtype=jnp.float32, s2d=True, s2d_min_pixels=0)
     p = full.init(jax.random.key(0), x)
     gf = jax.grad(lambda p: loss(full, p))(p)
     gp = jax.grad(lambda p: loss(phase, p))(p)

@@ -77,3 +77,52 @@ def test_native_png_encode_roundtrip(rng):
     np.testing.assert_array_equal(
         decode_image(encode_image(img, "x.png"), mode="L"), img
     )
+
+
+class TestNativePNGDecode:
+    def test_roundtrip_all_encoders(self, tmp_path):
+        import cv2
+        import numpy as np
+
+        from maze_image_processing_pipeline_tpu import native
+
+        rng = np.random.default_rng(3)
+        img = (rng.random((37, 53)) * 255).astype(np.uint8)
+        rgb = (rng.random((21, 33, 3)) * 255).astype(np.uint8)
+
+        for arr, enc in [
+            (img, cv2.imencode(".png", img)[1].tobytes()),
+            (img, cv2.imencode(".png", img, [cv2.IMWRITE_PNG_COMPRESSION, 9])[1].tobytes()),
+            (img, native.png_encode(img, 1)),
+            (rgb, cv2.imencode(".png", cv2.cvtColor(rgb, cv2.COLOR_RGB2BGR))[1].tobytes()),
+        ]:
+            got = native.png_decode(enc)
+            assert got is not None
+            np.testing.assert_array_equal(got, arr)
+
+    def test_unsupported_variants_fall_back(self):
+        import cv2
+        import numpy as np
+
+        from maze_image_processing_pipeline_tpu import native
+
+        img16 = (np.arange(64, dtype=np.uint16).reshape(8, 8) * 900)
+        b16 = cv2.imencode(".png", img16)[1].tobytes()
+        assert native.png_decode(b16) is None
+        assert native.png_decode(b"\x89PNG\r\n\x1a\njunk") is None
+        assert native.png_decode(b"not a png") is None
+
+    def test_decode_image_uses_native_path(self):
+        import numpy as np
+
+        from maze_image_processing_pipeline_tpu import native
+        from maze_image_processing_pipeline_tpu.dataio.imageio import decode_image
+
+        rng = np.random.default_rng(4)
+        img = (rng.random((40, 60)) * 255).astype(np.uint8)
+        data = native.png_encode(img, 1)
+        np.testing.assert_array_equal(decode_image(data), img)
+        np.testing.assert_array_equal(decode_image(data, mode="L"), img)
+        rgb = decode_image(data, mode="RGB")
+        assert rgb.shape == (40, 60, 3)
+        np.testing.assert_array_equal(rgb[..., 0], img)
