@@ -634,3 +634,87 @@ def test_segmentation_device_false_forces_host_path(tmp_path, rng):
             rtol=1e-5,
             err_msg=col,
         )
+
+
+def test_measure_with_canvas_f16_bitcast_roundtrip(rng):
+    """The carried-canvas stats buffer must decode exactly when the canvas
+    rides at float16 (f32 stats bitcast into f16 lane pairs)."""
+    import jax
+    import jax.numpy as jnp
+
+    from maze_image_processing_pipeline_tpu.ops.segment_measure import (
+        measure_channels_packed,
+        measure_channels_with_canvas,
+        split_canvas_stats,
+        unpack_channel_stats,
+    )
+
+    Bo, Hb, Wb, C = 4, 32, 128, 2
+    canvas = np.zeros((Bo, Hb, Wb, C), np.float32)
+    canvas[1, 5:20, 10:60, 0] = 0.9
+    canvas[2, 8:12, 8:40, 1] = 0.8
+    hs = np.full((Bo,), 24, np.int32)
+    ws = np.full((Bo,), 100, np.int32)
+
+    for dtype in (jnp.float32, jnp.float16):
+        flat = jnp.asarray(canvas.reshape(-1), dtype)
+        ref = np.asarray(
+            measure_channels_packed(
+                flat, hs, ws, shape=(Bo, Hb, Wb, C), fill_channels=(True, False)
+            )
+        )
+        buf = measure_channels_with_canvas(
+            flat, hs, ws, shape=(Bo, Hb, Wb, C), fill_channels=(True, False)
+        )
+        got_canvas, small, extremes = split_canvas_stats(buf, Bo, Hb, Wb, C)
+        np.testing.assert_array_equal(
+            np.asarray(got_canvas), np.asarray(flat).reshape(Bo, Hb, Wb, C)
+        )
+        ref_small, ref_ext = unpack_channel_stats(ref, Bo, Hb, C)
+        np.testing.assert_array_equal(small, ref_small)
+        np.testing.assert_array_equal(extremes, ref_ext)
+        assert small[0, 1, 1] > 0  # channel 0, area, object 1
+
+
+def test_device_tiled_inference_measure_on_mesh(rng):
+    """Fused measurement composes with mesh-sharded tiled inference."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        import pytest
+
+        pytest.skip("needs multi-device mesh")
+    from jax.sharding import Mesh
+
+    from maze_image_processing_pipeline_tpu.models import UNet, save_model, load_model
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as td:
+        import jax.numpy as jnp
+
+        module = UNet(out_channels=2, base_features=4, depth=1, dtype=jnp.float32)
+        params = module.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
+        save_model(os.path.join(td, "m"), module, params,
+                   outputs={"pred": {"channel_names": ["a", "b"]}})
+        model = load_model(os.path.join(td, "m"), dtype="float32")
+
+        from maze_image_processing_pipeline_tpu.models.inference import (
+            DeviceTiledInference,
+        )
+
+        crops = [draw_blob(rng, shape=(70, 80), r=15) for _ in range(3)]
+        mesh = Mesh(np.array(jax.devices()[:2]), ("data",))
+        out = []
+        with Pipeline() as pl:
+            img = Unpack(crops)
+            pred, stats = DeviceTiledInference(
+                model, img, tile_size=64, tile_stride=48, batch_size=2,
+                mesh=mesh, measure_channels=["a", "b"],
+                measure_fill_holes=True,
+            )
+            Call(lambda p, s: out.append((p, s)), pred, stats)
+        pl.run()
+        assert len(out) == 3
+        for p, s in out:
+            assert p.shape == (70, 80, 2)
+            assert s is not None and s["extremes"].shape[0] == 2
