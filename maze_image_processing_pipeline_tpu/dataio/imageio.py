@@ -44,13 +44,16 @@ def decode_image(data: bytes, mode: Optional[str] = None) -> np.ndarray:
         # interlaced) return None and fall through.
         from .. import native
 
-        img = native.png_decode(data)
-        if img is not None and not (mode == "L" and img.ndim == 3):
-            # (grayscale-from-color falls through to cv2 for its exact
-            # BT.601 weights)
-            if mode == "RGB" and img.ndim == 2:
-                img = np.stack([img] * 3, axis=-1)
-            return img
+        # Header-only probe first: grayscale-from-color needs cv2's exact
+        # BT.601 weights, so don't pay a full native decode just to
+        # discard it.
+        ch = native.png_channels(data)
+        if ch is not None and not (mode == "L" and ch == 3):
+            img = native.png_decode(data)
+            if img is not None:
+                if mode == "RGB" and img.ndim == 2:
+                    img = np.stack([img] * 3, axis=-1)
+                return img
 
     if not _HAS_CV2 and data[:2] == b"BM":
         from .. import native

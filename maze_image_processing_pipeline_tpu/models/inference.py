@@ -507,6 +507,14 @@ class DeviceTiledInference(Node):
             )
             Cout = int(preds[0].shape[-1])
             with_stats = self.measure_channels is not None
+            if with_stats and len(self.measure_channels) != Cout:
+                # The host path asserted this with both names; keep the
+                # clear error instead of an IndexError inside tracing.
+                raise ValueError(
+                    f"measure_channels has {len(self.measure_channels)} "
+                    f"names {self.measure_channels} but the model outputs "
+                    f"{Cout} channels"
+                )
             if with_stats:
                 # Measurement runs on the canvas IN HBM, and the stats
                 # ride back inside the same buffer — one fetch per bucket

@@ -67,7 +67,15 @@ def get_lib() -> Optional[ctypes.CDLL]:
             _load_failed = True
             return None
     try:
-        lib = ctypes.CDLL(_SO)
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            # A prebuilt/checked-in .so may link libraries this host
+            # lacks (e.g. libdeflate); rebuild locally — _build() falls
+            # back to a libz-only compile — and retry once.
+            if not _build():
+                raise
+            lib = ctypes.CDLL(_SO)
         lib.bmp_probe.restype = ctypes.c_int
         lib.bmp_probe.argtypes = [
             ctypes.c_char_p,
@@ -158,7 +166,11 @@ def _get_libdeflate() -> Optional[ctypes.CDLL]:
     return _libdeflate
 
 
-_deflate_compressors: dict = {}
+# libdeflate compressors are stateful and NOT thread-safe: cache them
+# per (thread, level) like the C++ side's thread_local comps.
+import threading as _threading
+
+_deflate_tls = _threading.local()
 
 
 def zlib_compress(data: bytes, level: int = 1) -> Optional[bytes]:
@@ -173,12 +185,15 @@ def zlib_compress(data: bytes, level: int = 1) -> Optional[bytes]:
     lib = _get_libdeflate()
     if lib is None:
         return None
-    comp = _deflate_compressors.get(level)
+    comps = getattr(_deflate_tls, "comps", None)
+    if comps is None:
+        comps = _deflate_tls.comps = {}
+    comp = comps.get(level)
     if comp is None:
         comp = lib.libdeflate_alloc_compressor(int(level))
         if not comp:
             return None
-        _deflate_compressors[level] = comp
+        comps[level] = comp
     bound = lib.libdeflate_zlib_compress_bound(comp, len(data))
     out = ctypes.create_string_buffer(bound)
     n = lib.libdeflate_zlib_compress(comp, data, len(data), out, bound)
@@ -220,6 +235,21 @@ def bmp8_encode(image: np.ndarray) -> Optional[bytes]:
         image.ctypes.data_as(ctypes.c_void_p), h, w, ctypes.cast(buf, ctypes.c_void_p)
     )
     return buf.raw[:n]
+
+
+def png_channels(data: bytes) -> Optional[int]:
+    """Header-only probe: channel count of a natively-decodable PNG, or
+    None when unsupported. Lets callers skip a full decode they would
+    discard (e.g. grayscale-from-color conversions that need cv2)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    c = ctypes.c_int()
+    if lib.png_probe(data, len(data), ctypes.byref(h), ctypes.byref(w), ctypes.byref(c)):
+        return None
+    return c.value
 
 
 def png_decode(data: bytes) -> Optional[np.ndarray]:

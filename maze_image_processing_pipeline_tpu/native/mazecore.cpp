@@ -344,6 +344,22 @@ int png_parse(const uint8_t* data, size_t len, int* height, int* width,
     else if (colortype == 2) ch = 3;
     else return 2;  // palette/alpha -> fall back
     if (!w || !h || w > (1u << 24) || h > (1u << 24)) return 1;
+    // A tRNS chunk adds transparency cv2 would expand to an alpha
+    // channel; this decoder doesn't, so reject to preserve the fallback
+    // contract (chunk walk stops at the first IDAT — tRNS must precede).
+    {
+        const uint8_t* q = p;
+        while (end - q >= 12) {
+            uint32_t clen = rd32be(q);
+            if (static_cast<size_t>(end - q) < 12 + static_cast<size_t>(clen))
+                break;
+            if (std::memcmp(q + 4, "tRNS", 4) == 0) return 2;
+            if (std::memcmp(q + 4, "IDAT", 4) == 0 ||
+                std::memcmp(q + 4, "IEND", 4) == 0)
+                break;
+            q += 12 + clen;
+        }
+    }
     *height = static_cast<int>(h);
     *width = static_cast<int>(w);
     *channels = ch;

@@ -126,3 +126,30 @@ class TestNativePNGDecode:
         rgb = decode_image(data, mode="RGB")
         assert rgb.shape == (40, 60, 3)
         np.testing.assert_array_equal(rgb[..., 0], img)
+
+    def test_trns_transparency_falls_back(self):
+        """PNGs carrying a tRNS chunk must NOT decode natively — cv2
+        expands tRNS into an alpha channel this decoder would drop."""
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from maze_image_processing_pipeline_tpu import native
+
+        def chunk(t, d):
+            return (
+                struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d))
+            )
+
+        img = np.arange(16, dtype=np.uint8).reshape(4, 4)
+        raw = b"".join(b"\x00" + img[y].tobytes() for y in range(4))
+        ihdr = chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0))
+        idat = chunk(b"IDAT", zlib.compress(raw))
+        iend = chunk(b"IEND", b"")
+        sig = b"\x89PNG\r\n\x1a\n"
+        trns = chunk(b"tRNS", struct.pack(">H", 5))
+        assert native.png_decode(sig + ihdr + trns + idat + iend) is None
+        got = native.png_decode(sig + ihdr + idat + iend)
+        np.testing.assert_array_equal(got, img)

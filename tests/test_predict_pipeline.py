@@ -718,3 +718,28 @@ def test_device_tiled_inference_measure_on_mesh(rng):
         for p, s in out:
             assert p.shape == (70, 80, 2)
             assert s is not None and s["extremes"].shape[0] == 2
+
+
+def test_fused_measure_channel_count_mismatch_errors(rng):
+    """A clear error (not an IndexError inside tracing) when the measured
+    channel names do not match the model's output channel count."""
+    import jax.numpy as jnp
+
+    from maze_image_processing_pipeline_tpu.models.inference import (
+        DeviceTiledInference,
+    )
+    from maze_image_processing_pipeline_tpu.models.model_io import LoadedModel
+
+    class TwoChannel:
+        def apply(self, params, x):
+            return jnp.stack([x[..., 0], x[..., 0]], axis=-1) * 10 - 2
+
+    model = LoadedModel(TwoChannel(), {}, {})
+    with Pipeline() as pl:
+        img = Unpack([np.zeros((64, 64), np.uint8)])
+        DeviceTiledInference(
+            model, img, tile_size=64, tile_stride=48, batch_size=2,
+            measure_channels=["only_one"],
+        )
+    with pytest.raises(ValueError, match="only_one.*2 channels"):
+        pl.run()
