@@ -113,6 +113,17 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_size_t,
             ctypes.c_void_p,
         ]
+        lib.chunk_pack_bound.restype = ctypes.c_size_t
+        lib.chunk_pack_bound.argtypes = [ctypes.c_size_t]
+        lib.chunk_pack.restype = ctypes.c_size_t
+        lib.chunk_pack.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_size_t,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_void_p,
+            ctypes.c_size_t,
+        ]
         lib.png_encoded_bound.restype = ctypes.c_size_t
         lib.png_encoded_bound.argtypes = [ctypes.c_int, ctypes.c_int, ctypes.c_int]
         lib.png_encode.restype = ctypes.c_size_t
@@ -235,6 +246,34 @@ def bmp8_encode(image: np.ndarray) -> Optional[bytes]:
         image.ctypes.data_as(ctypes.c_void_p), h, w, ctypes.cast(buf, ctypes.c_void_p)
     )
     return buf.raw[:n]
+
+
+def hdf5_chunk_pack(
+    arr: np.ndarray, level: int = 1, shuffle: bool = True
+) -> Optional[bytes]:
+    """Byte-shuffle (HDF5 H5Z_FILTER_SHUFFLE) + DEFLATE one whole-dataset
+    chunk in a single native call; None when the library is unavailable
+    (callers fall back to the numpy shuffle + :func:`zlib_compress`,
+    then to plain h5py)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    arr = np.ascontiguousarray(arr)
+    nbytes = arr.nbytes
+    itemsize = arr.dtype.itemsize if shuffle else 1
+    cap = lib.chunk_pack_bound(nbytes)
+    out = ctypes.create_string_buffer(cap)
+    n = lib.chunk_pack(
+        arr.ctypes.data_as(ctypes.c_void_p),
+        nbytes,
+        itemsize,
+        int(level),
+        ctypes.cast(out, ctypes.c_void_p),
+        cap,
+    )
+    if not n:
+        return None
+    return out.raw[:n]
 
 
 def png_channels(data: bytes) -> Optional[int]:
