@@ -890,6 +890,10 @@ class DeviceTiledSegmentation(Node):
                     frames_dev, labels_dev, ids, bidx, wy, wx,
                     size_h=Sh, size_w=Sw,
                     include_intensity=frames_host is None,
+                    # Mask-bits-only fetches also ride 4 px/byte (2-bit
+                    # fields): 8x fewer crop bytes than the original
+                    # two-plane scheme through the tunnel.
+                    pack_bits=frames_host is not None,
                 )
             )
             layout.append((key, Ncap))
@@ -924,7 +928,9 @@ class DeviceTiledSegmentation(Node):
                     fp[sz : 2 * sz].reshape(Ncap, Sh, Sw),
                 )
             else:
-                views[key] = (None, fp[:sz].reshape(Ncap, Sh, Sw))
+                # 2-bit-packed mask bytes, 4 px each (see
+                # extract_region_crops pack_bits).
+                views[key] = (None, fp[: sz // 4].reshape(Ncap, Sh, Sw // 4))
 
         import scipy.ndimage as ndi
 
@@ -951,13 +957,21 @@ class DeviceTiledSegmentation(Node):
                 wy, wx = p["win"]
                 py0, px0, py1, px1 = p["bbox_padded"]
                 sy, sx = py0 - wy, px0 - wx
+                hh, ww = py1 - py0, px1 - px0
                 if imgs_v is None:
                     win_i = frames_host[b, py0:py1, px0:px1]
-                else:
-                    win_i = imgs_v[
-                        p["slot"], sy : sy + (py1 - py0), sx : sx + (px1 - px0)
+                    # Unpack the 2-bit fields of just this window through
+                    # the LUT (byte columns cover [sx, sx+ww) rounded out).
+                    from ..ops.crops import UNPACK_LUT
+
+                    xb0, xb1 = sx // 4, -(-(sx + ww) // 4)
+                    pb = bits_v[p["slot"], sy : sy + hh, xb0:xb1]
+                    win_b = UNPACK_LUT[pb].reshape(hh, -1)[
+                        :, sx - 4 * xb0 : sx - 4 * xb0 + ww
                     ]
-                win_b = bits_v[p["slot"], sy : sy + (py1 - py0), sx : sx + (px1 - px0)]
+                else:
+                    win_i = imgs_v[p["slot"], sy : sy + hh, sx : sx + ww]
+                    win_b = bits_v[p["slot"], sy : sy + hh, sx : sx + ww]
                 mask = (win_b & 1) > 0
                 other = (win_b & 2) > 0
                 props_r = {

@@ -23,12 +23,14 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = ["extract_region_crops"]
 
 
 @functools.partial(
-    jax.jit, static_argnames=("size_h", "size_w", "include_intensity")
+    jax.jit,
+    static_argnames=("size_h", "size_w", "include_intensity", "pack_bits"),
 )
 def extract_region_crops(
     frames: jnp.ndarray,
@@ -41,6 +43,7 @@ def extract_region_crops(
     size_h: int,
     size_w: int,
     include_intensity: bool = True,
+    pack_bits: bool = False,
 ) -> jnp.ndarray:
     """Cut N fixed-size windows out of a batch of frames.
 
@@ -56,6 +59,10 @@ def extract_region_crops(
             still hold the stitched frames on the host slice intensity
             there and fetch HALF the bytes (the crop fetch is the steady
             loki stage's largest cost through tunneled hosts).
+        pack_bits: pack the 2-bit mask bytes 4-per-byte along x (requires
+            ``size_w % 4 == 0``) — another 4x off the fetch; the host
+            unpacks windows through a 256x4 lookup table
+            (:data:`UNPACK_LUT`).
 
     Returns:
         flat uint8 — with ``include_intensity`` the N intensity windows
@@ -66,12 +73,21 @@ def extract_region_crops(
         whole batch of crops is a single device→host transfer.
     """
 
+    if pack_bits and size_w % 4:
+        raise ValueError(f"pack_bits requires size_w % 4 == 0, got {size_w}")
+
     def step(_, xs):
         rid, b, y, x = xs
         lab = jax.lax.dynamic_slice(labels, (b, y, x), (1, size_h, size_w))[0]
         this = lab == rid
         other = (lab > 0) & (~this)
         bits = this.astype(jnp.uint8) | (other.astype(jnp.uint8) << 1)
+        if pack_bits:
+            # 4 pixels/byte: px k of each group rides at bit 2k (the
+            # host's UNPACK_LUT inverts). A reshape+shift+sum, no gathers.
+            g = bits.reshape(size_h, size_w // 4, 4).astype(jnp.uint8)
+            shifts = np.asarray([1, 4, 16, 64], np.uint8)
+            bits = jnp.sum(g * shifts, axis=-1, dtype=jnp.uint8)
         if not include_intensity:
             return None, bits
         img = jax.lax.dynamic_slice(frames, (b, y, x), (1, size_h, size_w))[0]
@@ -82,3 +98,9 @@ def extract_region_crops(
         return jnp.concatenate([img_c.reshape(-1), bit_c.reshape(-1)])
     _, bit_c = jax.lax.scan(step, None, (ids, bidx, y0, x0))
     return bit_c.reshape(-1)
+
+
+# Host-side inverse of pack_bits: UNPACK_LUT[byte] -> the 4 two-bit fields.
+UNPACK_LUT = np.asarray(
+    [[(b >> (2 * k)) & 3 for k in range(4)] for b in range(256)], np.uint8
+)
