@@ -137,8 +137,8 @@ def measure_largest_component(
     masks: jnp.ndarray,
     *,
     fill_holes: bool,
-    num_segments: int = 16,
-    n_bg_segments: int = 32,
+    num_segments: int = 32,
+    n_bg_segments: int = 64,
 ) -> Tuple[Dict[str, jnp.ndarray], jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Measure the largest 8-connected component of each mask in a batch.
 
@@ -179,8 +179,8 @@ def measure_channels_packed(
     *,
     shape: Tuple[int, int, int, int],
     fill_channels: Tuple[bool, ...],
-    num_segments: int = 16,
-    n_bg_segments: int = 32,
+    num_segments: int = 32,
+    n_bg_segments: int = 64,
 ) -> jnp.ndarray:
     """Measure every channel of a chunk of blended predictions IN PLACE on
     the device (the ``DeviceTiledInference`` fused-measurement tap).
@@ -251,8 +251,8 @@ def measure_channels_with_canvas(
     *,
     shape: Tuple[int, int, int, int],
     fill_channels: Tuple[bool, ...],
-    num_segments: int = 16,
-    n_bg_segments: int = 32,
+    num_segments: int = 32,
+    n_bg_segments: int = 64,
 ) -> jnp.ndarray:
     """:func:`measure_channels_packed`, with the canvas CARRIED in the
     output: returns ``concat([flat, stats])`` so the caller fetches ONE

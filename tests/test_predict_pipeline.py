@@ -562,9 +562,9 @@ def test_fused_measure_overflow_falls_back_to_host(tmp_path, rng):
             return (x[..., :1] - 0.4) * 50.0
 
     crop = np.zeros((64, 160), np.uint8)
-    for k in range(20):  # 20 specks (raster ids 1..20)
-        crop[2, 3 + 7 * k] = 255
-    crop[30:42, 30:42] = 255  # the true largest component, id 21 > 16
+    for k in range(34):  # 34 specks (raster ids 1..34, beyond the 32 bound)
+        crop[2, 2 + 4 * k] = 255
+    crop[30:42, 30:42] = 255  # the true largest component, id 35
 
     model = LoadedModel(Passthrough(), {}, {})
 
