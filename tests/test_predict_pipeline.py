@@ -743,3 +743,70 @@ def test_fused_measure_channel_count_mismatch_errors(rng):
         )
     with pytest.raises(ValueError, match="only_one.*2 channels"):
         pl.run()
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_fused_measure_fuzz_matches_host(seed):
+    """Random noise canvases: every non-overflow (object, channel) must
+    match the host measure_segments values exactly (areas/raw) and to
+    float tolerance (axis); overflow flags must be set whenever the host
+    found more components than the one-hot bounds."""
+    import jax.numpy as jnp
+    import scipy.ndimage as ndi
+
+    from maze_image_processing_pipeline_tpu.ops.segment_measure import (
+        convex_area_from_extremes,
+        measure_channels_packed,
+        unpack_channel_stats,
+    )
+
+    rng = np.random.default_rng(seed)
+    Bo, Hb, Wb, C = 6, 64, 128, 2
+    # Sub-threshold noise floor + a bounded number of blobs/specks so a
+    # realistic fraction (not all) of the masks stays under the one-hot
+    # component bounds.
+    canvas = rng.random((Bo, Hb, Wb, C)).astype(np.float32) * 0.45
+    yy, xx = np.mgrid[0:Hb, 0:Wb]
+    for b in range(Bo):
+        for c in range(C):
+            for _ in range(int(rng.integers(0, 4))):
+                cy, cx = rng.integers(5, 50, 2)
+                r = int(rng.integers(3, 12))
+                canvas[b][((yy - cy) ** 2 + (xx - cx) ** 2) < r * r, c] = 0.9
+                canvas[b, cy : cy + 2, cx : cx + 2, c] = 0.1
+            for _ in range(int(rng.integers(0, 8))):
+                sy, sx = rng.integers(0, Hb), rng.integers(0, Wb)
+                canvas[b, sy, sx, c] = 0.8
+    hs = rng.integers(20, Hb + 1, Bo).astype(np.int32)
+    ws = rng.integers(40, Wb + 1, Bo).astype(np.int32)
+
+    flat = jnp.asarray(canvas.reshape(-1))
+    out = measure_channels_packed(
+        flat, hs, ws, shape=(Bo, Hb, Wb, C), fill_channels=(True, False)
+    )
+    small, extremes = unpack_channel_stats(np.asarray(out), Bo, Hb, C)
+
+    checked = 0
+    for b in range(Bo):
+        crop = canvas[b, : hs[b], : ws[b]]
+        host_meta, _ = measure_segments(
+            {}, None, crop, ["c0", "c1"], False, fill_holes=("c0",)
+        )
+        for c, name in enumerate(["c0", "c1"]):
+            if small[c, 3, b] > 0:  # overflow → host fallback path
+                continue
+            assert small[c, 0, b] == host_meta[f"object_{name}_raw_area"], (b, c)
+            assert small[c, 1, b] == host_meta[f"object_{name}_area"], (b, c)
+            np.testing.assert_allclose(
+                small[c, 2, b],
+                host_meta[f"object_{name}_axis_major_length"],
+                rtol=1e-4,
+                err_msg=f"{b},{c}",
+            )
+            if small[c, 1, b] > 0:
+                convex = convex_area_from_extremes(
+                    extremes[c, b], (int(hs[b]), int(ws[b]))
+                )
+                assert convex == host_meta[f"object_{name}_area_convex"], (b, c)
+            checked += 1
+    assert checked >= Bo  # the fuzz must actually exercise the device path
