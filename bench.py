@@ -229,6 +229,58 @@ def bench_crops_tpu(batch: int = 256, size: int = 256, k: int = 6) -> float:
     return _bench_jit_loop(step, (up, cp, x), k, batch)
 
 
+def bench_unet_train_tpu(batch: int = 8, tile: int = 512, k: int = 6) -> float:
+    """U-Net train step (fwd+bwd+adamw), bf16 compute — tiles/s/chip.
+
+    Beyond the reference (which ships no training); documents the train
+    path's throughput so regressions show up round over round. 512² keeps
+    the phase-major level-0 path active (crossover in models/unet.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from maze_image_processing_pipeline_tpu.models import UNet
+    from maze_image_processing_pipeline_tpu.models.train import (
+        create_train_state,
+        make_train_step,
+    )
+
+    module = UNet(out_channels=2, base_features=32, depth=4, dtype=jnp.bfloat16)
+    state, optimizer = create_train_state(
+        module, jax.random.key(0), (1, tile, tile, 3)
+    )
+    raw_step = make_train_step(module, optimizer, jit=False)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((batch, tile, tile, 3)), jnp.float32)
+    y = jnp.asarray(rng.random((batch, tile, tile, 2)) > 0.5, jnp.float32)
+
+    # In-jit K-vs-1 differencing, like every other metric here: a Python
+    # step loop pays this host's ~25-58 ms tunnel dispatch latency per
+    # iteration, swamping the ~40 ms step.
+    @jax.jit
+    def loop(n, state, x, y):
+        def body(i, st):
+            st2, _ = raw_step(st, x + 0.01 * (i % 2).astype(x.dtype), y)
+            return st2
+        out = jax.lax.fori_loop(0, n, body, state)
+        # Depend on the UPDATED params, not just the step counter —
+        # returning only `step` lets XLA dead-code-eliminate the whole
+        # gradient chain (measured: a 2_000_000 "tiles/s" artifact).
+        leaves = jax.tree_util.tree_leaves(out.params)
+        return sum(jnp.sum(l.astype(jnp.float32)) for l in leaves[:2])
+
+    import jax.numpy as _jnp
+
+    np.asarray(loop(_jnp.int32(k), state, x, y))
+    np.asarray(loop(_jnp.int32(1), state, x, y))
+    t0 = time.perf_counter()
+    np.asarray(loop(_jnp.int32(k), state, x, y))
+    t_k = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    np.asarray(loop(_jnp.int32(1), state, x, y))
+    t_1 = time.perf_counter() - t0
+    return batch * (k - 1) / (t_k - t_1)
+
+
 def _torch_models():
     import torch
     import torch.nn as nn
@@ -452,6 +504,12 @@ def main() -> None:
                 "value": round(crops_fps, 1),
                 "unit": "semseg U-Net + polytaxo classifier, 256x256x3, batch 256",
                 "vs_cpu_torch_1core": round(crops_fps / crops_cpu, 1),
+            }
+        if time.perf_counter() - t_start < budget_s:
+            train_fps = bench_unet_train_tpu()
+            extras["unet_train_tiles_per_sec"] = {
+                "value": round(train_fps, 2),
+                "unit": "512x512x3 train step (fwd+bwd+adamw), bf16, batch 8",
             }
     except Exception as exc:  # never lose the primary metric
         extras["error"] = f"{type(exc).__name__}: {exc}"

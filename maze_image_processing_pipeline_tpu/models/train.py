@@ -92,8 +92,13 @@ def make_train_step(
     optimizer: optax.GradientTransformation,
     loss_fn: Callable = bce_dice_loss,
     mesh: Optional[Mesh] = None,
+    jit: bool = True,
 ) -> Callable:
-    """Build the jitted (sharded) train step: (state, images, targets) → (state, metrics)."""
+    """Build the (sharded) train step: (state, images, targets) → (state, metrics).
+
+    ``jit=False`` returns the raw traceable function, for callers that
+    embed the step in a larger jitted program (e.g. the bench harness's
+    in-jit timing loop)."""
 
     def step(state: TrainState, images: jnp.ndarray, targets: jnp.ndarray):
         if mesh is not None:
@@ -112,4 +117,4 @@ def make_train_step(
         new_state = TrainState(params, opt_state, state.step + 1)
         return new_state, {"loss": loss}
 
-    return jax.jit(step, donate_argnums=(0,))
+    return jax.jit(step, donate_argnums=(0,)) if jit else step
