@@ -400,10 +400,11 @@ _UNIT = "frames/s (1024x1024, threshold+morphology+CCL+props)"
 # the numbers this round's healthy windows recorded, with provenance,
 # so a dead-tunnel round-end run doesn't read as a regression to nothing.
 _LAST_MEASURED = {
-    "chain_fps": 371.6,
-    "unet_tile_fps": 120.9,
-    "crops_per_sec_b256": 3146.0,
-    "source": "BASELINE.md 'Round-3 late-session results' (healthy window, 2026-08-18)",
+    "chain_fps": 456.7,
+    "unet_tile_fps": 120.8,
+    "crops_per_sec_b256": 3145.7,
+    "unet_train_tiles_per_sec": 146.7,
+    "source": "BASELINE.md 'Round-3 late-session results' (healthy windows, 2026-08-18/19)",
 }
 # Best-so-far state, so the wedge watchdog reports a measured primary
 # metric when a LATER phase (CPU baseline, model extras) wedges instead
