@@ -42,6 +42,8 @@ def parse_args():
     ap.add_argument("--model-dir", default="/tmp/bench_e2e_models")
     ap.add_argument("--workdir", default="/tmp/bench_e2e")
     ap.add_argument("--distill-steps", type=int, default=200)
+    ap.add_argument("--profile", action="store_true",
+        help="cProfile the steady (last) repeat of each stage to stderr")
     ap.add_argument(
         "--repeat",
         type=int,
@@ -161,12 +163,28 @@ def main() -> None:
     )
     tax_fn, csv_fn = make_taxonomy_files(work)
 
-    def timed_runs(stage_fn):
+    def timed_runs(stage_fn, name=""):
         times = []
         for rep in range(max(1, args.repeat)):
+            prof = None
+            if args.profile and rep == max(1, args.repeat) - 1:
+                import cProfile
+
+                prof = cProfile.Profile()
+                prof.enable()
             t0 = time.perf_counter()
             stage_fn(rep)
             times.append(time.perf_counter() - t0)
+            if prof is not None:
+                import io
+                import pstats
+
+                prof.disable()
+                buf = io.StringIO()
+                pstats.Stats(prof, stream=buf).sort_stats("cumulative").print_stats(30)
+                sys.stderr.write(f"=== profile: {name} (steady repeat) ===\n")
+                sys.stderr.write(buf.getvalue())
+                sys.stderr.flush()
         return times
 
     def run_loki(rep):
@@ -191,7 +209,7 @@ def main() -> None:
             }
         )
 
-    t_lokis = timed_runs(run_loki)
+    t_lokis = timed_runs(run_loki, "loki")
     archive_fn = os.path.join(str(work / "loki_out0"), "LOKI_PS122-1_7.zip")
     n_objects = len(read_tsv(Archive(archive_fn) / "ecotaxa_export.tsv"))
 
@@ -210,7 +228,7 @@ def main() -> None:
             }
         )
 
-    t_semsegs = timed_runs(run_semseg)
+    t_semsegs = timed_runs(run_semseg, "semseg")
 
     def run_poly(rep):
         PredictRunner._configure_and_run(
@@ -231,7 +249,7 @@ def main() -> None:
             }
         )
 
-    t_polys = timed_runs(run_poly)
+    t_polys = timed_runs(run_poly, "polytaxo")
 
     total_first = t_lokis[0] + t_semsegs[0] + t_polys[0]
     total_steady = min(t_lokis) + min(t_semsegs) + min(t_polys)
