@@ -270,13 +270,19 @@ class JaxInference(Node):
                 yield from flush_one()
 
 
-def _build_tiled_blend(Hb: int, Wb: int, ts: int, transfer_dtype):
+def _build_tiled_blend(Hb: int, Wb: int, Hq: int, Wq: int, ts: int, transfer_dtype):
     """Blend program for one shape bucket (auto-specialized on the
     job-count ladder via input shapes). Tiles are cut on the HOST and
     uploaded per forward chunk: the dominant per-process tunnel cost
     is LOADING each compiled executable onto the remote device
     (BASELINE.md round-3 finding), so DeviceTiledInference keeps exactly
-    two device programs — the shared model forward and this blend."""
+    two device programs — the shared model forward and this blend.
+
+    The canvas accumulates at the full tile-grid extent (Hb, Wb) but only
+    the (Hq, Wq) window covering the objects' true extents is returned:
+    the device→host fetch is BANDWIDTH-bound through tunneled hosts
+    (~40-80 MB/s measured), and pow2 buckets fetch up to 2x the useful
+    bytes (e.g. ~170² vignettes in 256² buckets)."""
     from ..engine.tiles import _linear_weight
 
     wt = _linear_weight(ts, ts)  # numpy host constant
@@ -316,6 +322,8 @@ def _build_tiled_blend(Hb: int, Wb: int, ts: int, transfer_dtype):
         )
         # Host TiledPipeline normalization: where(w > 0, w, 1).
         out = canvas / jnp.where(wsum > 0, wsum, 1.0)
+        if (Hq, Wq) != (Hb, Wb):
+            out = out[:, :Hq, :Wq]
         if transfer_dtype is not None:
             out = out.astype(transfer_dtype)
         return out.reshape(-1)
@@ -429,17 +437,17 @@ class DeviceTiledInference(Node):
             # arguments are re-transferred on every dispatch.
             self._params = jax.device_put(model.params)
             self._data_sharding = None
-    def _programs(self, Hb: int, Wb: int):
+    def _programs(self, Hb: int, Wb: int, Hq: int, Wq: int):
         # Process-wide memo (jit_cache): the blend closes over shape
         # scalars + the host weight window only — no params, no self —
         # so re-built pipelines reuse the loaded executables.
         from ..jit_cache import get_program
 
-        key = ("dt_blend", Hb, Wb, self.tile_size, self.transfer_dtype)
+        key = ("dt_blend", Hb, Wb, Hq, Wq, self.tile_size, self.transfer_dtype)
         return get_program(
             key,
             lambda: _build_tiled_blend(
-                Hb, Wb, self.tile_size, self.transfer_dtype
+                Hb, Wb, Hq, Wq, self.tile_size, self.transfer_dtype
             ),
         )
 
@@ -453,16 +461,23 @@ class DeviceTiledInference(Node):
             h, w = img.shape[:2]
             Hb = max(1 << (max(h, ts) - 1).bit_length(), ts)
             Wb = max(1 << (max(w, ts) - 1).bit_length(), ts, 128)
+            # Fetch window: the objects' true extent on a x64 ladder. The
+            # blend still accumulates on the full (Hb, Wb) tile grid, but
+            # only (Hq, Wq) crosses the (bandwidth-bound) device→host
+            # link — ~2x fewer bytes for vignette-sized objects in pow2
+            # buckets. x64 keeps the program-variant count bounded.
+            Hq = min(Hb, -(-h // 64) * 64)
+            Wq = min(Wb, max(-(-w // 64) * 64, 128))
             # dtype/channels are part of the key: mixed inputs (e.g. a u16
             # haul next to u8) batch separately instead of failing.
             buckets.setdefault(
-                (Hb, Wb, str(img.dtype), img.shape[2:]), []
+                (Hb, Wb, Hq, Wq, str(img.dtype), img.shape[2:]), []
             ).append(i)
 
         parts = []
         layout = []  # (bucket_key, idxs, Bo, Cout)
         for key in sorted(buckets, key=str):
-            Hb, Wb = key[:2]
+            Hb, Wb, Hq, Wq = key[:4]
             idxs = buckets[key]
             Bo = len(idxs)
             trailing = images[idxs[0]].shape[2:]
@@ -492,7 +507,7 @@ class DeviceTiledInference(Node):
             ty = np.asarray([j[1] for j in jobs], np.int32)
             tx = np.asarray([j[2] for j in jobs], np.int32)
 
-            blend = self._programs(Hb, Wb)
+            blend = self._programs(Hb, Wb, Hq, Wq)
             preds = []
             for o in range(0, Ncap, self.batch_size):
                 chunk = tiles[o : o + self.batch_size]
@@ -535,7 +550,7 @@ class DeviceTiledInference(Node):
                     flat,
                     hs,
                     ws,
-                    shape=(Bo_cap, Hb, Wb, Cout),
+                    shape=(Bo_cap, Hq, Wq, Cout),
                     fill_channels=fill_channels,
                 )
             parts.append(flat)
@@ -556,10 +571,10 @@ class DeviceTiledInference(Node):
         results = [None] * len(images)
         stats_out = [None] * len(images)
         for part, (key, idxs, Bo, Cout, with_stats) in zip(parts, layout):
-            Hb, Wb = key[:2]
+            Hq, Wq = key[2:4]
             if with_stats:
                 block, small, extremes = split_canvas_stats(
-                    part, Bo, Hb, Wb, Cout
+                    part, Bo, Hq, Wq, Cout
                 )
                 for bi, i in enumerate(idxs):
                     stats_out[i] = {
@@ -570,7 +585,7 @@ class DeviceTiledInference(Node):
                         "extremes": extremes[:, bi],
                     }
             else:
-                block = np.asarray(part).reshape(Bo, Hb, Wb, Cout)
+                block = np.asarray(part).reshape(Bo, Hq, Wq, Cout)
             for bi, i in enumerate(idxs):
                 h, w = images[i].shape[:2]
                 results[i] = block[bi, :h, :w].astype(np.float32)

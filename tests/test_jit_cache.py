@@ -117,5 +117,7 @@ def test_device_tiled_inference_programs_shared():
         n1 = cls(m1, None, tile_size=32, tile_stride=24)
         n2 = cls(m2, None, tile_size=32, tile_stride=24)
     assert n1._step is n2._step
-    assert n1._programs(64, 64) is n2._programs(64, 64)
-    assert n1._programs(64, 128) is not n1._programs(64, 64)
+    assert n1._programs(64, 64, 64, 64) is n2._programs(64, 64, 64, 64)
+    assert n1._programs(64, 128, 64, 128) is not n1._programs(64, 64, 64, 64)
+    # The fetch-crop window is part of the program identity too.
+    assert n1._programs(64, 64, 32, 64) is not n1._programs(64, 64, 64, 64)
