@@ -1,9 +1,10 @@
 """Small host-side utilities shared across the framework.
 
-Capability parity: ``maze_ipp/common.py`` (convert_img_dtype, add_note,
-recursive_update) plus in-repo replacements for the external ``natsort`` and
-``parse`` dependencies used by the reference
-(``maze_ipp/loki/pipeline.py:17,20``).
+Capability parity: ``maze_ipp/common.py`` (convert_img_dtype,
+recursive_update; the reference's ``add_note`` py<3.11 shim is unnecessary —
+this package requires py>=3.11 and calls ``BaseException.add_note`` directly)
+plus in-repo replacements for the external ``natsort`` and ``parse``
+dependencies used by the reference (``maze_ipp/loki/pipeline.py:17,20``).
 """
 
 from __future__ import annotations
@@ -12,7 +13,6 @@ import fnmatch
 import glob
 import logging
 import re
-import sys
 from typing import Any, Dict, List, Mapping, Optional, Sequence
 
 import numpy as np
@@ -23,7 +23,6 @@ __all__ = [
     "find_files_glob",
     "round_ladder",
     "convert_img_dtype",
-    "add_note",
     "recursive_update",
     "natsorted",
     "natsort_key",
@@ -63,30 +62,24 @@ def round_ladder(m: int) -> int:
 def convert_img_dtype(image, dtype) -> np.ndarray:
     """Convert an image to a floating dtype, scaling unsigned ints to [0, 1].
 
-    Mirrors the conversion contract of the reference
-    (``maze_ipp/common.py:6-17``): unsigned integer images are scaled by
-    ``1 / iinfo(dtype).max``; float images are cast; anything else is an
-    error.
+    Conversion contract shared with the reference (``maze_ipp/common.py:6-17``):
+    only floating targets are supported; an unsigned-integer image maps its
+    full scale to ``1.0``, a float image is cast, and any other combination
+    is an error.
     """
     image = np.asarray(image)
-    dtype = np.dtype(dtype)
+    target = np.dtype(dtype)
 
-    if dtype.kind == "f":
-        if image.dtype.kind == "u":
-            factor = np.array(1.0 / np.iinfo(image.dtype).max, dtype=dtype)
-            return np.multiply(image, factor)
-        if image.dtype.kind == "f":
-            return np.asarray(image, dtype)
+    match (image.dtype.kind, target.kind):
+        case ("u", "f"):
+            # One fused pass: cast + scale inside a single ufunc call.
+            return np.multiply(
+                image, 1.0 / np.iinfo(image.dtype).max, dtype=target
+            )
+        case ("f", "f"):
+            return image.astype(target, copy=False)
 
-    raise ValueError(f"Can not convert {image.dtype} to {dtype}.")
-
-
-def add_note(err: BaseException, msg: str) -> None:
-    """Attach a note to an exception (py<3.11 compatible)."""
-    if sys.version_info < (3, 11):
-        err.__notes__ = getattr(err, "__notes__", []) + [msg]  # type: ignore[attr-defined]
-    else:
-        err.add_note(msg)
+    raise ValueError(f"unsupported image conversion: {image.dtype} -> {target}")
 
 
 def recursive_update(left: Mapping, right: Mapping) -> Dict:
