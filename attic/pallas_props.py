@@ -52,7 +52,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .regionprops_fused import _per_pixel_perimeter, feret_from_row_extremes
+from maze_image_processing_pipeline_tpu.ops.regionprops_fused import (
+    _per_pixel_perimeter,
+    feret_from_row_extremes,
+)
 
 __all__ = ["regionprops_fused_pallas"]
 

@@ -15,11 +15,11 @@ Round-3 measurement note (tools/perf_gn.py, BASELINE.md): this XLA
 formulation runs AT the 3-HBM-pass roofline both in isolation
 (1.55 ms per (8, 1024², 32) bf16 batch) and composed between convs
 (+0.19 ms/instance at L0) — the earlier composed slowness that motivated
-the Pallas kernel (:mod:`.pallas_norm`) disappeared once device-constant
+the Pallas kernel (``attic/pallas_norm.py``) disappeared once device-constant
 lowering fetches and param closures were fixed, while the Pallas kernel
 itself pays a 4× lane-padding tax at C=32 (23.8 ms isolated, +3 ms/tile
 composed). The Pallas kernel is therefore no longer dispatched; it is kept
-as a measured negative result (like ``ops/pallas_relabel.py``).
+as a measured negative result (like ``attic/pallas_relabel.py``).
 
 Parameter names and shapes (``scale``/``bias`` of ``(C,)``) match
 ``nn.GroupNorm``, so checkpoints are interchangeable.

@@ -261,7 +261,7 @@ def remove_small_objects(
     Parity: ``skimage.morphology.remove_small_objects`` at
     ``loki/pipeline.py:443-448``.
     """
-    # A fused two-phase Pallas variant exists (.pallas_relabel) but measured
+    # A fused two-phase Pallas variant exists (attic/pallas_relabel.py) but measured
     # no faster than this XLA formulation on v5e (21.3 vs 20.2 ms for the
     # morph+label+remove chain): plankton blobs scatter across most row
     # strips, so the background-skip rarely fires and the O(H·W·R) one-hot

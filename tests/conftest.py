@@ -39,7 +39,7 @@ _SLOW_MODULES = {
     "test_full_haul_e2e",
     "test_threshold_device",
     "test_train_loop",
-    "test_pallas_props",
+    "test_attic_kernels",
 }
 
 

@@ -1,12 +1,18 @@
-"""Pallas fused-props kernel vs the XLA fused oracle (interpreter mode)."""
+"""Retired attic/ Pallas kernels vs their in-package XLA oracles.
 
+One pinned parity test per retired kernel (interpreter mode on CPU), so the
+measured-negative-result knowledge in attic/ stays executable. See
+attic/__init__.py for why each kernel lost."""
+
+import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 import scipy.ndimage as ndi
 
 from maze_image_processing_pipeline_tpu.ops import label as label_mod
 from maze_image_processing_pipeline_tpu.ops.regionprops_fused import regionprops_fused
-from maze_image_processing_pipeline_tpu.ops.pallas_props import regionprops_fused_pallas
+from attic.pallas_props import regionprops_fused_pallas
 
 
 def test_pallas_matches_xla_fused(rng):
@@ -41,7 +47,7 @@ def test_pallas_matches_xla_fused(rng):
 
 def test_pallas_remove_small_matches_xla(rng):
     from maze_image_processing_pipeline_tpu.ops.label import remove_small_objects
-    from maze_image_processing_pipeline_tpu.ops.pallas_relabel import (
+    from attic.pallas_relabel import (
         remove_small_objects_pallas,
     )
 
@@ -63,7 +69,7 @@ def test_pallas_remove_small_matches_xla(rng):
 def test_pallas_histogram_matches_xla(rng):
     """region_histogram_pallas == regionprops_fused's histogram, incl. the
     padded-rows correction on a non-multiple-of-tile_rows height."""
-    from maze_image_processing_pipeline_tpu.ops.pallas_hist import (
+    from attic.pallas_hist import (
         region_histogram_pallas,
     )
 
@@ -102,3 +108,60 @@ def test_pallas_histogram_matches_xla(rng):
             inten[b][lab_np[b] == 0].ravel(), minlength=256
         ).astype(np.float64)
         np.testing.assert_array_equal(got[b, 0], true0)
+
+
+def test_pallas_groupnorm_forward_matches_reference():
+    """group_norm_pallas ≡ the XLA-ref forward (interpret mode on CPU).
+
+    The kernel is no longer dispatched by ``layers.GroupNorm`` — the XLA
+    formulation now composes at roofline while the kernel pays a 4×
+    lane-padding tax at narrow channels (round-3 measurement,
+    BASELINE.md) — but it is kept as a measured negative result, so its
+    parity coverage stays."""
+    from maze_image_processing_pipeline_tpu.models import layers
+    from attic.pallas_norm import (
+        group_norm_pallas,
+    )
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((2, 8, 16, 16)), jnp.float32)
+    scale = jnp.asarray(rng.standard_normal(16), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(16), jnp.float32)
+
+    y_k = group_norm_pallas(
+        x, scale, bias, num_groups=4, epsilon=1e-6, interpret=True
+    )
+    y_r = layers._group_norm_ref(x, scale, bias, 4, 1e-6)
+    np.testing.assert_allclose(
+        np.asarray(y_k), np.asarray(y_r), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_pallas_groupnorm_backward_kernel_matches_reference():
+    """group_norm_bwd_pallas (fused strip backward) ≡ jax.vjp of the XLA
+    reference, for dx, dscale, and dbias; interpret mode on CPU."""
+    from maze_image_processing_pipeline_tpu.models import layers
+    from attic.pallas_norm import (
+        group_norm_bwd_pallas,
+    )
+
+    rng = np.random.default_rng(11)
+    for shape, G in (((2, 8, 16, 16), 4), ((3, 12, 8, 32), 8)):
+        x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+        ct = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+        scale = jnp.asarray(rng.standard_normal(shape[-1]), jnp.float32)
+        bias = jnp.asarray(rng.standard_normal(shape[-1]), jnp.float32)
+
+        dx, dscale, dbias = group_norm_bwd_pallas(
+            x, ct, scale, num_groups=G, epsilon=1e-6, interpret=True
+        )
+        _, vjp = jax.vjp(
+            lambda x_, s_, b_: layers._group_norm_ref(x_, s_, b_, G, 1e-6),
+            x,
+            scale,
+            bias,
+        )
+        rx, rs, rb = vjp(ct)
+        np.testing.assert_allclose(np.asarray(dx), np.asarray(rx), rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(dscale), np.asarray(rs), rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(dbias), np.asarray(rb), rtol=2e-4, atol=2e-4)

@@ -205,63 +205,6 @@ def test_lane_preserving_groupnorm_matches_flax():
     )
 
 
-def test_pallas_groupnorm_forward_matches_reference():
-    """group_norm_pallas ≡ the XLA-ref forward (interpret mode on CPU).
-
-    The kernel is no longer dispatched by ``layers.GroupNorm`` — the XLA
-    formulation now composes at roofline while the kernel pays a 4×
-    lane-padding tax at narrow channels (round-3 measurement,
-    BASELINE.md) — but it is kept as a measured negative result, so its
-    parity coverage stays."""
-    from maze_image_processing_pipeline_tpu.models import layers
-    from maze_image_processing_pipeline_tpu.models.pallas_norm import (
-        group_norm_pallas,
-    )
-
-    rng = np.random.default_rng(7)
-    x = jnp.asarray(rng.standard_normal((2, 8, 16, 16)), jnp.float32)
-    scale = jnp.asarray(rng.standard_normal(16), jnp.float32)
-    bias = jnp.asarray(rng.standard_normal(16), jnp.float32)
-
-    y_k = group_norm_pallas(
-        x, scale, bias, num_groups=4, epsilon=1e-6, interpret=True
-    )
-    y_r = layers._group_norm_ref(x, scale, bias, 4, 1e-6)
-    np.testing.assert_allclose(
-        np.asarray(y_k), np.asarray(y_r), rtol=1e-5, atol=1e-5
-    )
-
-
-def test_pallas_groupnorm_backward_kernel_matches_reference():
-    """group_norm_bwd_pallas (fused strip backward) ≡ jax.vjp of the XLA
-    reference, for dx, dscale, and dbias; interpret mode on CPU."""
-    from maze_image_processing_pipeline_tpu.models import layers
-    from maze_image_processing_pipeline_tpu.models.pallas_norm import (
-        group_norm_bwd_pallas,
-    )
-
-    rng = np.random.default_rng(11)
-    for shape, G in (((2, 8, 16, 16), 4), ((3, 12, 8, 32), 8)):
-        x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
-        ct = jnp.asarray(rng.standard_normal(shape), jnp.float32)
-        scale = jnp.asarray(rng.standard_normal(shape[-1]), jnp.float32)
-        bias = jnp.asarray(rng.standard_normal(shape[-1]), jnp.float32)
-
-        dx, dscale, dbias = group_norm_bwd_pallas(
-            x, ct, scale, num_groups=G, epsilon=1e-6, interpret=True
-        )
-        _, vjp = jax.vjp(
-            lambda x_, s_, b_: layers._group_norm_ref(x_, s_, b_, G, 1e-6),
-            x,
-            scale,
-            bias,
-        )
-        rx, rs, rb = vjp(ct)
-        np.testing.assert_allclose(np.asarray(dx), np.asarray(rx), rtol=2e-4, atol=2e-4)
-        np.testing.assert_allclose(np.asarray(dscale), np.asarray(rs), rtol=2e-4, atol=2e-4)
-        np.testing.assert_allclose(np.asarray(dbias), np.asarray(rb), rtol=2e-4, atol=2e-4)
-
-
 def test_import_torch_state_dict_unet_parity():
     """A torch U-Net mirroring the flax architecture layer-for-layer (in
     call order) imports to numerically-equivalent flax params. Round-3

@@ -91,7 +91,7 @@ class BlockVar(nn.Module):
                 elif self.gn == "packed":
                     x = group_norm_packed(x, scale, bias, 8, 1e-6)
                 elif self.gn == "pallas":
-                    from maze_image_processing_pipeline_tpu.models.pallas_norm import (
+                    from attic.pallas_norm import (
                         group_norm_pallas,
                     )
 
@@ -130,7 +130,7 @@ def main():
             )
 
         def pallas_fn(p, x):
-            from maze_image_processing_pipeline_tpu.models.pallas_norm import (
+            from attic.pallas_norm import (
                 group_norm_pallas,
             )
 

@@ -66,7 +66,7 @@ def time_loop(fn, x, k=12, aux=None):
 def main() -> None:
     from maze_image_processing_pipeline_tpu.ops import label as lm
     from maze_image_processing_pipeline_tpu.ops import morphology as morph
-    from maze_image_processing_pipeline_tpu.ops.pallas_props import (
+    from attic.pallas_props import (
         regionprops_fused_pallas,
     )
 

@@ -142,7 +142,7 @@ def main() -> None:
     for th in (8, 16):
         name = f"histpallas{th}"
         if want(name):
-            from maze_image_processing_pipeline_tpu.ops.pallas_hist import (
+            from attic.pallas_hist import (
                 region_histogram_pallas,
             )
 
