@@ -461,24 +461,34 @@ class DeviceTiledInference(Node):
             h, w = img.shape[:2]
             Hb = max(1 << (max(h, ts) - 1).bit_length(), ts)
             Wb = max(1 << (max(w, ts) - 1).bit_length(), ts, 128)
-            # Fetch window: the objects' true extent on a x64 ladder. The
-            # blend still accumulates on the full (Hb, Wb) tile grid, but
-            # only (Hq, Wq) crosses the (bandwidth-bound) device→host
-            # link — ~2x fewer bytes for vignette-sized objects in pow2
-            # buckets. x64 keeps the program-variant count bounded.
-            Hq = min(Hb, -(-h // 64) * 64)
-            Wq = min(Wb, max(-(-w // 64) * 64, 128))
             # dtype/channels are part of the key: mixed inputs (e.g. a u16
             # haul next to u8) batch separately instead of failing.
             buckets.setdefault(
-                (Hb, Wb, Hq, Wq, str(img.dtype), img.shape[2:]), []
+                (Hb, Wb, str(img.dtype), img.shape[2:]), []
             ).append(i)
 
         parts = []
         layout = []  # (bucket_key, idxs, Bo, Cout)
-        for key in sorted(buckets, key=str):
-            Hb, Wb, Hq, Wq = key[:4]
-            idxs = buckets[key]
+        for bkey in sorted(buckets, key=str):
+            Hb, Wb = bkey[:2]
+            idxs = buckets[bkey]
+            # Fetch window: ONE per bucket, the members' max extent on a
+            # x64 ladder. The blend still accumulates on the full (Hb, Wb)
+            # tile grid, but only (Hq, Wq) crosses the (bandwidth-bound)
+            # device→host link — ~2x fewer bytes for vignette-sized
+            # objects in pow2 buckets. Keying buckets on (Hb, Wb) only and
+            # deriving the window from the whole bucket keeps batches
+            # together and bounds the blend-program-variant count (each
+            # distinct variant pays the 5-800 s executable load through
+            # tunneled hosts — BASELINE.md round-3).
+            hmax = max(images[i].shape[0] for i in idxs)
+            wmax = max(images[i].shape[1] for i in idxs)
+            Hq = min(Hb, -(-hmax // 64) * 64)
+            Wq = min(Wb, max(-(-wmax // 64) * 64, 128))
+            # The [:h, :w] crop at unpack silently truncates if the ladder
+            # ever undershoots the true extent.
+            assert Hq >= hmax and Wq >= wmax, (Hq, Wq, hmax, wmax)
+            key = (Hb, Wb, Hq, Wq) + bkey[2:]
             Bo = len(idxs)
             trailing = images[idxs[0]].shape[2:]
             jobs = []

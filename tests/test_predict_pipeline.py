@@ -396,8 +396,13 @@ def test_batched_segment_measure_matches_host(rng):
 def test_device_tiled_inference_matches_host_blend(tmp_path, rng):
     """DeviceTiledInference (on-device tile blending, packed chunk fetch)
     must reproduce the host path (TiledPipeline{JaxInference}) on a mixed
-    stream of crop sizes incl. multi-tile and smaller-than-tile objects."""
-    sizes = [(64, 64), (100, 90), (40, 56), (90, 120), (64, 64)]
+    stream of crop sizes incl. multi-tile and smaller-than-tile objects.
+
+    (170, 170) and (150, 200) land in the same (256, 256) pow2 bucket with
+    different true extents: they exercise the shared per-bucket fetch
+    window (max member extent on the x64 ladder) AND the [:h, :w] crop
+    where the window actually engages (192 < 256)."""
+    sizes = [(64, 64), (100, 90), (40, 56), (90, 120), (170, 170), (150, 200), (64, 64)]
     crops = [draw_blob(rng, shape=s, r=12) for s in sizes]
     archive_fn = str(tmp_path / "input" / "crops.zip")
     with Pipeline() as p:
@@ -456,10 +461,15 @@ def test_device_tiled_inference_matches_host_blend(tmp_path, rng):
     meas_cols = [c for c in df_host.columns if "_area" in c or "axis" in c]
     assert meas_cols
     for col in meas_cols:
+        # atol=2: device blend sums tiles in a different order than the
+        # host path, so a prediction pixel sitting exactly on the 0.5
+        # threshold can flip — a 1-2 px area difference on a multi-tile
+        # crop is expected, any structural disagreement is far larger.
         np.testing.assert_allclose(
             df_dev[col].to_numpy(np.float64),
             df_host[col].to_numpy(np.float64),
             rtol=1e-5,
+            atol=2,
             err_msg=col,
         )
 

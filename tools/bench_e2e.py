@@ -164,25 +164,31 @@ def main() -> None:
     tax_fn, csv_fn = make_taxonomy_files(work)
 
     def timed_runs(stage_fn, name=""):
+        # With --profile, ONE EXTRA repeat runs under cProfile and its
+        # wall time is excluded from `times`: profiler overhead would
+        # otherwise inflate the min()-based steady numbers that get
+        # recorded as baselines (round-3 advisor finding).
         times = []
-        for rep in range(max(1, args.repeat)):
+        n_timed = max(1, args.repeat)
+        for rep in range(n_timed + (1 if args.profile else 0)):
             prof = None
-            if args.profile and rep == max(1, args.repeat) - 1:
+            if args.profile and rep == n_timed:
                 import cProfile
 
                 prof = cProfile.Profile()
                 prof.enable()
             t0 = time.perf_counter()
             stage_fn(rep)
-            times.append(time.perf_counter() - t0)
-            if prof is not None:
+            if prof is None:
+                times.append(time.perf_counter() - t0)
+            else:
                 import io
                 import pstats
 
                 prof.disable()
                 buf = io.StringIO()
                 pstats.Stats(prof, stream=buf).sort_stats("cumulative").print_stats(30)
-                sys.stderr.write(f"=== profile: {name} (steady repeat) ===\n")
+                sys.stderr.write(f"=== profile: {name} (extra profiled repeat, excluded from timings) ===\n")
                 sys.stderr.write(buf.getvalue())
                 sys.stderr.flush()
         return times
