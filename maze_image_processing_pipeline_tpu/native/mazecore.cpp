@@ -51,6 +51,11 @@ int bmp_probe(const uint8_t* data, size_t n, int* height, int* width,
     if (w <= 0 || w > 1 << 20) return -4;
     int habs = h < 0 ? -h : h;
     if (habs <= 0 || habs > 1 << 20) return -4;
+    // Total-pixel cap: a lying header would otherwise drive the caller
+    // into a giant output allocation before decode even starts. 2^26
+    // pixels (~8192^2) is far beyond any LOKI frame; bigger files fall
+    // back to the general codec.
+    if (static_cast<uint64_t>(w) * habs > (1u << 26)) return -4;
     if (bpp == 8) {
         *channels = 1;
     } else if (bpp == 24) {
@@ -79,12 +84,14 @@ int bmp_decode(const uint8_t* data, size_t n, uint8_t* out) {
     size_t row_stride = (static_cast<size_t>(W) * bpp / 8 + 3) & ~size_t(3);
     if (offset + row_stride * H > n) return -6;
 
-    // Palette for 8-bit (after the DIB header).
+    // Palette for 8-bit (after the DIB header). Bounds-check in size_t
+    // BEFORE forming the pointer: data + 14 + dib with an adversarial
+    // 4-billion dib is out-of-bounds pointer arithmetic.
     const uint8_t* palette = nullptr;
     if (bpp == 8) {
-        uint32_t dib = rd32(data + 14);
-        palette = data + 14 + dib;
-        if (static_cast<size_t>(palette - data) + 256 * 4 > offset) palette = nullptr;
+        uint64_t dib = rd32(data + 14);
+        if (14 + dib + 256 * 4 <= offset && offset <= n)
+            palette = data + 14 + static_cast<size_t>(dib);
     }
 
     for (int y = 0; y < H; ++y) {
@@ -344,6 +351,10 @@ int png_parse(const uint8_t* data, size_t len, int* height, int* width,
     else if (colortype == 2) ch = 3;
     else return 2;  // palette/alpha -> fall back
     if (!w || !h || w > (1u << 24) || h > (1u << 24)) return 1;
+    // Total-pixel cap, same rationale as bmp_probe: the caller sizes its
+    // output buffer from these fields before any inflate sanity check can
+    // catch a lying IHDR.
+    if (static_cast<uint64_t>(w) * h > (1u << 26)) return 1;
     // A tRNS chunk adds transparency cv2 would expand to an alpha
     // channel; this decoder doesn't, so reject to preserve the fallback
     // contract (chunk walk stops at the first IDAT — tRNS must precede).
