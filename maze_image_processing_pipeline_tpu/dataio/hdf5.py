@@ -49,6 +49,9 @@ class HDF5Writer(Node):
             filter, readable everywhere). On float prediction maps it
             measured both faster AND smaller than plain DEFLATE
             (1.97 → 1.54 s / 51 → 49 MB on a real 81 MB haul's maps).
+        file_attrs: optional ``{name: value}`` attributes written to the
+            root group of every file this node creates (provenance, e.g.
+            the storage dtype of raw prediction maps).
     """
 
     def __init__(
@@ -59,6 +62,7 @@ class HDF5Writer(Node):
         compression: Optional[str] = "gzip",
         compression_opts: Optional[int] = None,
         shuffle: bool = True,
+        file_attrs: Optional[Dict[str, object]] = None,
     ) -> None:
         if dataset_mode not in ("create", "append"):
             raise ValueError(f"Unknown dataset_mode: {dataset_mode!r}")
@@ -68,6 +72,7 @@ class HDF5Writer(Node):
         self.compression = compression
         self.compression_opts = compression_opts
         self.shuffle = shuffle
+        self.file_attrs = dict(file_attrs or {})
         super().__init__()
 
     def _write_direct(self, h5, name: str, value: np.ndarray, opts) -> bool:
@@ -115,6 +120,8 @@ class HDF5Writer(Node):
             if fn not in files:
                 os.makedirs(os.path.dirname(os.path.abspath(fn)), exist_ok=True)
                 files[fn] = h5py.File(fn, "w")
+                for name, value in self.file_attrs.items():
+                    files[fn].attrs[name] = value
             return files[fn]
 
         def to_array(value):

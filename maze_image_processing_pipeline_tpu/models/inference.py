@@ -437,17 +437,17 @@ class DeviceTiledInference(Node):
             # arguments are re-transferred on every dispatch.
             self._params = jax.device_put(model.params)
             self._data_sharding = None
-    def _programs(self, Hb: int, Wb: int, Hq: int, Wq: int):
+    def _programs(self, Hb: int, Wb: int, Hq: int, Wq: int, transfer_dtype):
         # Process-wide memo (jit_cache): the blend closes over shape
         # scalars + the host weight window only — no params, no self —
         # so re-built pipelines reuse the loaded executables.
         from ..jit_cache import get_program
 
-        key = ("dt_blend", Hb, Wb, Hq, Wq, self.tile_size, self.transfer_dtype)
+        key = ("dt_blend", Hb, Wb, Hq, Wq, self.tile_size, transfer_dtype)
         return get_program(
             key,
             lambda: _build_tiled_blend(
-                Hb, Wb, Hq, Wq, self.tile_size, self.transfer_dtype
+                Hb, Wb, Hq, Wq, self.tile_size, transfer_dtype
             ),
         )
 
@@ -473,7 +473,7 @@ class DeviceTiledInference(Node):
             Hb, Wb = bkey[:2]
             idxs = buckets[bkey]
             # Fetch window: ONE per bucket, the members' max extent on a
-            # x64 ladder. The blend still accumulates on the full (Hb, Wb)
+            # x32 ladder. The blend still accumulates on the full (Hb, Wb)
             # tile grid, but only (Hq, Wq) crosses the (bandwidth-bound)
             # device→host link — ~2x fewer bytes for vignette-sized
             # objects in pow2 buckets. Keying buckets on (Hb, Wb) only and
@@ -483,8 +483,8 @@ class DeviceTiledInference(Node):
             # tunneled hosts — BASELINE.md round-3).
             hmax = max(images[i].shape[0] for i in idxs)
             wmax = max(images[i].shape[1] for i in idxs)
-            Hq = min(Hb, -(-hmax // 64) * 64)
-            Wq = min(Wb, max(-(-wmax // 64) * 64, 128))
+            Hq = min(Hb, -(-hmax // 32) * 32)
+            Wq = min(Wb, max(-(-wmax // 32) * 32, 128))
             # The [:h, :w] crop at unpack silently truncates if the ladder
             # ever undershoots the true extent.
             assert Hq >= hmax and Wq >= wmax, (Hq, Wq, hmax, wmax)
@@ -517,7 +517,14 @@ class DeviceTiledInference(Node):
             ty = np.asarray([j[1] for j in jobs], np.int32)
             tx = np.asarray([j[2] for j in jobs], np.int32)
 
-            blend = self._programs(Hb, Wb, Hq, Wq)
+            # When measuring, the blend emits f32 and the measurement
+            # program casts for transfer instead: thresholding a canvas
+            # already rounded to f16 flips borderline 0.5-pixels vs the
+            # host oracle.
+            with_stats = self.measure_channels is not None
+            blend = self._programs(
+                Hb, Wb, Hq, Wq, None if with_stats else self.transfer_dtype
+            )
             preds = []
             for o in range(0, Ncap, self.batch_size):
                 chunk = tiles[o : o + self.batch_size]
@@ -531,7 +538,6 @@ class DeviceTiledInference(Node):
                 tuple(preds), tb, ty, tx, np.asarray(N, np.int32), Bo=Bo_cap
             )
             Cout = int(preds[0].shape[-1])
-            with_stats = self.measure_channels is not None
             if with_stats and len(self.measure_channels) != Cout:
                 # The host path asserted this with both names; keep the
                 # clear error instead of an IndexError inside tracing.
@@ -562,6 +568,7 @@ class DeviceTiledInference(Node):
                     ws,
                     shape=(Bo_cap, Hq, Wq, Cout),
                     fill_channels=fill_channels,
+                    out_dtype=self.transfer_dtype,
                 )
             parts.append(flat)
             layout.append((key, idxs, Bo_cap, Cout, with_stats))

@@ -242,6 +242,7 @@ def measure_channels_packed(
         "fill_channels",
         "num_segments",
         "n_bg_segments",
+        "out_dtype",
     ),
 )
 def measure_channels_with_canvas(
@@ -253,14 +254,20 @@ def measure_channels_with_canvas(
     fill_channels: Tuple[bool, ...],
     num_segments: int = 32,
     n_bg_segments: int = 64,
+    out_dtype=None,
 ) -> jnp.ndarray:
     """:func:`measure_channels_packed`, with the canvas CARRIED in the
     output: returns ``concat([flat, stats])`` so the caller fetches ONE
     buffer per chunk bucket instead of two (each extra fetch costs fixed
     dispatch latency through tunneled hosts — the separate stats fetch
-    measured ~0.7 s per 332-object haul). When the canvas rides at
-    float16, the float32 stats are BITCAST into pairs of f16 lanes
-    (exact; :func:`split_canvas_stats` reverses it)."""
+    measured ~0.7 s per 332-object haul).
+
+    ``out_dtype``: transfer dtype for the RETURNED buffer. Measurement
+    always runs on ``flat`` as given (pass the f32 blend output so the
+    0.5 threshold sees full precision — casting to f16 before measuring
+    flips borderline pixels); the canvas is cast for transfer afterwards.
+    When the canvas rides at float16, the float32 stats are BITCAST into
+    pairs of f16 lanes (exact; :func:`split_canvas_stats` reverses it)."""
     stats = measure_channels_packed(
         flat,
         hs,
@@ -270,6 +277,8 @@ def measure_channels_with_canvas(
         num_segments=num_segments,
         n_bg_segments=n_bg_segments,
     )
+    if out_dtype is not None:
+        flat = flat.astype(out_dtype)
     if flat.dtype != jnp.float32:
         stats = jax.lax.bitcast_convert_type(stats, flat.dtype).reshape(-1)
     return jnp.concatenate([flat, stats])

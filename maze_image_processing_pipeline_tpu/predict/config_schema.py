@@ -184,10 +184,12 @@ class PredictionPipelineConfig(BaseModel):
         description="Save raw predictions into an HDF5 file, e.g. for feature extraction.",
     )
     raw_h5_dtype: Literal["float32", "float16"] = Field(
-        "float32",
-        description="Storage dtype for save_raw_h5. float16 halves both the "
-        "device fetch and the file (sigmoid probabilities lose <1e-3 "
-        "absolute precision); float32 stores the model output verbatim.",
+        "float16",
+        description="Storage dtype for save_raw_h5. The float16 default "
+        "halves the device fetch, the DEFLATE payload, and the file "
+        "(prediction probabilities lose <1e-3 absolute precision); the "
+        "chosen dtype is recorded as the `raw_dtype` root attribute of "
+        "the HDF5 file. Set float32 to store the model output verbatim.",
     )
     segmentation: SegmentationConfig | Literal[False] = Field(
         False,

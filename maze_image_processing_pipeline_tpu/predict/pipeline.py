@@ -798,6 +798,8 @@ class Runner(PipelineRunner):
                     # on a 1-core host (round-3 profile).
                     compression="gzip",
                     compression_opts=1,
+                    # Provenance for the float16 storage default.
+                    file_attrs={"raw_dtype": config.raw_h5_dtype},
                 )
 
             if config.segmentation:

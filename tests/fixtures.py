@@ -50,8 +50,14 @@ def make_loki_sample(
     image_ext: str = ".png",
     with_telemetry: bool = True,
     telemetry_style: str = "tmd",
+    crop_size_range: "Tuple[Tuple[int, int], Tuple[int, int]] | None" = None,
 ) -> str:
-    """Create a synthetic LOKI sample tree; returns the sample-root path."""
+    """Create a synthetic LOKI sample tree; returns the sample-root path.
+
+    ``crop_size_range``: ((h_min, w_min), (h_max, w_max)) — per-object
+    vignette sizes drawn log-uniformly from the range instead of the
+    fixed (60, 80). Used by the dense/large-frame haul profile to stress
+    the pow2 shape buckets and batch rungs with a wide size distribution."""
     rng = np.random.default_rng(seed)
     sample = os.path.join(root, name)
     os.makedirs(os.path.join(sample, "Log"), exist_ok=True)
@@ -113,10 +119,19 @@ def make_loki_sample(
     for fi in range(n_frames):
         t = times[fi]
         for oi in range(objects_per_frame):
-            posx = int(rng.integers(0, W - 90))
-            posy = int(rng.integers(0, H - 70))
+            if crop_size_range is not None:
+                (h0, w0), (h1, w1) = crop_size_range
+                ch = int(np.exp(rng.uniform(np.log(h0), np.log(h1))))
+                cw = int(np.exp(rng.uniform(np.log(w0), np.log(w1))))
+                ch, cw = min(ch, H - 10), min(cw, W - 10)
+                r = max(4, min(ch, cw) // 4 + int(rng.integers(0, 4)))
+            else:
+                ch, cw = 60, 80
+                r = 8 + int(rng.integers(0, 6))
+            posx = int(rng.integers(0, max(1, W - cw - 10)))
+            posy = int(rng.integers(0, max(1, H - ch - 10)))
             oid = make_object_id(date=date, time=t, ms=333, seq=oi, posx=posx, posy=posy)
-            crop = draw_blob(rng, shape=(60, 80), r=8 + int(rng.integers(0, 6)))
+            crop = draw_blob(rng, shape=(ch, cw), r=r)
             with open(os.path.join(pic_dir, oid + image_ext), "wb") as f:
                 f.write(encode_image(crop, oid + image_ext))
 

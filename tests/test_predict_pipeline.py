@@ -290,6 +290,8 @@ class TestPredictEndToEnd:
             )
             with h5py.File(os.path.join(target_dir, "crops.h5")) as h5:
                 outs[dtype] = {k: h5[k][...] for k in h5.keys()}
+                # Provenance: the storage dtype is recorded on the file.
+                assert h5.attrs["raw_dtype"] == dtype
 
         assert all(v.dtype == np.float16 for v in outs["float16"].values())
         assert all(v.dtype == np.float32 for v in outs["float32"].values())
@@ -437,6 +439,10 @@ def test_device_tiled_inference_matches_host_blend(tmp_path, rng):
                     },
                 },
                 "save_raw_h5": True,
+                # f32 keeps this parity check bit-tight (see the
+                # device-false test above); the float16 default has its
+                # own dedicated test.
+                "raw_h5_dtype": "float32",
                 "segmentation": {"draw": False, "fill_holes": True},
                 "target_dir": target_dir,
             }
@@ -625,6 +631,12 @@ def test_segmentation_device_false_forces_host_path(tmp_path, rng):
                 "segmentation": {
                     "draw": False, "fill_holes": True, "device": device,
                 },
+                # f32 end-to-end so the parity check stays bit-tight: at
+                # the f16 transfer default the two paths round at
+                # different points and this random-init model's outputs
+                # hover at the 0.5 threshold (borderline pixels flip).
+                "save_raw_h5": True,
+                "raw_h5_dtype": "float32",
                 "target_dir": target_dir,
             }
         )
