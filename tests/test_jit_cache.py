@@ -117,7 +117,14 @@ def test_device_tiled_inference_programs_shared():
         n1 = cls(m1, None, tile_size=32, tile_stride=24)
         n2 = cls(m2, None, tile_size=32, tile_stride=24)
     assert n1._step is n2._step
-    assert n1._programs(64, 64, 64, 64) is n2._programs(64, 64, 64, 64)
-    assert n1._programs(64, 128, 64, 128) is not n1._programs(64, 64, 64, 64)
+    td = n1.transfer_dtype
+    assert n1._programs(64, 64, 64, 64, td) is n2._programs(64, 64, 64, 64, td)
+    assert n1._programs(64, 128, 64, 128, td) is not n1._programs(64, 64, 64, 64, td)
     # The fetch-crop window is part of the program identity too.
-    assert n1._programs(64, 64, 32, 64) is not n1._programs(64, 64, 64, 64)
+    assert n1._programs(64, 64, 32, 64, td) is not n1._programs(64, 64, 64, 64, td)
+    # ... and the transfer dtype (the blend emits f32 when the fused
+    # measurement will cast for transfer instead).
+    import numpy as np
+    assert n1._programs(64, 64, 64, 64, np.float16) is not n1._programs(
+        64, 64, 64, 64, None
+    )
