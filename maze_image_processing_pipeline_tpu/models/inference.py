@@ -270,7 +270,15 @@ class JaxInference(Node):
                 yield from flush_one()
 
 
-def _build_tiled_blend(Hb: int, Wb: int, Hq: int, Wq: int, ts: int, transfer_dtype):
+def _build_tiled_blend(
+    Hb: int,
+    Wb: int,
+    Hq: int,
+    Wq: int,
+    ts: int,
+    transfer_dtype,
+    measure: Optional[tuple] = None,
+):
     """Blend program for one shape bucket (auto-specialized on the
     job-count ladder via input shapes). Tiles are cut on the HOST and
     uploaded per forward chunk: the dominant per-process tunnel cost
@@ -282,15 +290,21 @@ def _build_tiled_blend(Hb: int, Wb: int, Hq: int, Wq: int, ts: int, transfer_dty
     the (Hq, Wq) window covering the objects' true extents is returned:
     the device→host fetch is BANDWIDTH-bound through tunneled hosts
     (~40-80 MB/s measured), and pow2 buckets fetch up to 2x the useful
-    bytes (e.g. ~170² vignettes in 256² buckets)."""
+    bytes (e.g. ~170² vignettes in 256² buckets).
+
+    ``measure``: optional ``(fill_channels, num_segments, n_bg_segments)``
+    — fuse the per-channel segment measurement INTO this program (stats
+    ride inside the returned buffer, f32-thresholded before the transfer
+    cast, exactly like :func:`ops.segment_measure
+    .measure_channels_with_canvas`). A separate measurement dispatch used
+    to cost one extra ~25 ms tunnel round trip per chunk bucket."""
     from ..engine.tiles import _linear_weight
 
     wt = _linear_weight(ts, ts)  # numpy host constant
 
-    @functools.partial(jax.jit, static_argnames=("Bo",))
-    def blend(pred_chunks, tb, ty, tx, n_jobs, *, Bo):
-        # Tuple of (bs, ts, ts, Cout) chunks → (Bo, Hb, Wb, Cout)
-        # flat: accumulate at dynamic offsets; pad jobs carry zero
+    def _blend_canvas(pred_chunks, tb, ty, tx, n_jobs, Bo):
+        # Tuple of (bs, ts, ts, Cout) chunks → (Bo, Hq, Wq, Cout)
+        # f32: accumulate at dynamic offsets; pad jobs carry zero
         # weight. Chunks ride in as a pytree so no extra concatenate
         # program is dispatched.
         pred_t = jnp.concatenate(pred_chunks, axis=0)
@@ -324,11 +338,39 @@ def _build_tiled_blend(Hb: int, Wb: int, Hq: int, Wq: int, ts: int, transfer_dty
         out = canvas / jnp.where(wsum > 0, wsum, 1.0)
         if (Hq, Wq) != (Hb, Wb):
             out = out[:, :Hq, :Wq]
-        if transfer_dtype is not None:
-            out = out.astype(transfer_dtype)
-        return out.reshape(-1)
+        return out
 
-    return blend
+    if measure is None:
+
+        @functools.partial(jax.jit, static_argnames=("Bo",))
+        def blend(pred_chunks, tb, ty, tx, n_jobs, *, Bo):
+            out = _blend_canvas(pred_chunks, tb, ty, tx, n_jobs, Bo)
+            if transfer_dtype is not None:
+                out = out.astype(transfer_dtype)
+            return out.reshape(-1)
+
+        return blend
+
+    fill_channels, num_segments, n_bg_segments = measure
+
+    @functools.partial(jax.jit, static_argnames=("Bo",))
+    def blend_measure(pred_chunks, tb, ty, tx, n_jobs, hs, ws, *, Bo):
+        from ..ops.segment_measure import measure_channels_with_canvas
+
+        out = _blend_canvas(pred_chunks, tb, ty, tx, n_jobs, Bo)
+        Cout = out.shape[-1]
+        return measure_channels_with_canvas(
+            out.reshape(-1),
+            hs,
+            ws,
+            shape=(Bo, Hq, Wq, Cout),
+            fill_channels=fill_channels,
+            num_segments=num_segments,
+            n_bg_segments=n_bg_segments,
+            out_dtype=transfer_dtype,
+        )
+
+    return blend_measure
 
 
 @ReturnOutputs
@@ -380,11 +422,11 @@ class DeviceTiledInference(Node):
         self.chunk_size = max(1, chunk_size)
         self.in_flight = max(1, in_flight)
         self.transfer_dtype = transfer_dtype
-        # Fused segment measurement: the blended canvases are already in
-        # HBM, so measuring each channel there costs one dispatch per
-        # chunk bucket + a small packed fetch, replacing the host's
-        # per-object scipy pass (predict.pipeline.measure_segments) that
-        # dominated the steady semseg stage on 1-core hosts.
+        # Fused segment measurement: the stats are computed INSIDE the
+        # blend program (the canvases never leave HBM) and ride back
+        # packed in the same fetch, replacing the host's per-object scipy
+        # pass (predict.pipeline.measure_segments) that dominated the
+        # steady semseg stage on 1-core hosts — zero extra dispatches.
         self.measure_channels = (
             list(measure_channels) if measure_channels is not None else None
         )
@@ -437,17 +479,21 @@ class DeviceTiledInference(Node):
             # arguments are re-transferred on every dispatch.
             self._params = jax.device_put(model.params)
             self._data_sharding = None
-    def _programs(self, Hb: int, Wb: int, Hq: int, Wq: int, transfer_dtype):
+    def _programs(
+        self, Hb: int, Wb: int, Hq: int, Wq: int, transfer_dtype, measure=None
+    ):
         # Process-wide memo (jit_cache): the blend closes over shape
         # scalars + the host weight window only — no params, no self —
         # so re-built pipelines reuse the loaded executables.
         from ..jit_cache import get_program
 
-        key = ("dt_blend", Hb, Wb, Hq, Wq, self.tile_size, transfer_dtype)
+        key = (
+            "dt_blend", Hb, Wb, Hq, Wq, self.tile_size, transfer_dtype, measure
+        )
         return get_program(
             key,
             lambda: _build_tiled_blend(
-                Hb, Wb, Hq, Wq, self.tile_size, transfer_dtype
+                Hb, Wb, Hq, Wq, self.tile_size, transfer_dtype, measure
             ),
         )
 
@@ -473,18 +519,23 @@ class DeviceTiledInference(Node):
             Hb, Wb = bkey[:2]
             idxs = buckets[bkey]
             # Fetch window: ONE per bucket, the members' max extent on a
-            # x32 ladder. The blend still accumulates on the full (Hb, Wb)
-            # tile grid, but only (Hq, Wq) crosses the (bandwidth-bound)
-            # device→host link — ~2x fewer bytes for vignette-sized
-            # objects in pow2 buckets. Keying buckets on (Hb, Wb) only and
-            # deriving the window from the whole bucket keeps batches
-            # together and bounds the blend-program-variant count (each
-            # distinct variant pays the 5-800 s executable load through
-            # tunneled hosts — BASELINE.md round-3).
+            # quarter-bucket ladder (Hb/4, Hb/2, 3Hb/4, Hb). The blend
+            # still accumulates on the full (Hb, Wb) tile grid, but only
+            # (Hq, Wq) crosses the (bandwidth-bound) device→host link —
+            # ~2x fewer bytes for vignette-sized objects in pow2 buckets.
+            # Keying buckets on (Hb, Wb) only and deriving the window from
+            # the whole bucket keeps batches together; quarter rungs bound
+            # the blend-variant count at ≤16 per pow2 bucket (an x32
+            # ladder populated ~dozens of variants on the dense haul's
+            # log-uniform crop spread, and each distinct variant pays the
+            # 5-800 s per-process executable load through tunneled hosts —
+            # BASELINE.md round-4 dense finding).
             hmax = max(images[i].shape[0] for i in idxs)
             wmax = max(images[i].shape[1] for i in idxs)
-            Hq = min(Hb, -(-hmax // 32) * 32)
-            Wq = min(Wb, max(-(-wmax // 32) * 32, 128))
+            rung_h = Hb // 4
+            rung_w = Wb // 4
+            Hq = min(Hb, -(-hmax // rung_h) * rung_h)
+            Wq = min(Wb, max(-(-wmax // rung_w) * rung_w, 128))
             # The [:h, :w] crop at unpack silently truncates if the ladder
             # ever undershoots the true extent.
             assert Hq >= hmax and Wq >= wmax, (Hq, Wq, hmax, wmax)
@@ -517,26 +568,19 @@ class DeviceTiledInference(Node):
             ty = np.asarray([j[1] for j in jobs], np.int32)
             tx = np.asarray([j[2] for j in jobs], np.int32)
 
-            # When measuring, the blend emits f32 and the measurement
-            # program casts for transfer instead: thresholding a canvas
+            # When measuring, the blend thresholds its f32 canvas in the
+            # SAME program (a separate measurement dispatch used to pay
+            # one more ~25 ms tunnel round trip per chunk bucket) and
+            # casts for transfer afterwards: thresholding a canvas
             # already rounded to f16 flips borderline 0.5-pixels vs the
             # host oracle.
             with_stats = self.measure_channels is not None
-            blend = self._programs(
-                Hb, Wb, Hq, Wq, None if with_stats else self.transfer_dtype
-            )
             preds = []
             for o in range(0, Ncap, self.batch_size):
                 chunk = tiles[o : o + self.batch_size]
                 if self._data_sharding is not None:
                     chunk = jax.device_put(chunk, self._data_sharding)
                 preds.append(self._step(self._params, chunk))
-            # Quantize the canvas batch to the ladder too: every distinct
-            # (Hb, Wb, Ncap, Bo) combination compiles a blend variant.
-            Bo_cap = _round_ladder(Bo)
-            flat = blend(
-                tuple(preds), tb, ty, tx, np.asarray(N, np.int32), Bo=Bo_cap
-            )
             Cout = int(preds[0].shape[-1])
             if with_stats and len(self.measure_channels) != Cout:
                 # The host path asserted this with both names; keep the
@@ -546,29 +590,35 @@ class DeviceTiledInference(Node):
                     f"names {self.measure_channels} but the model outputs "
                     f"{Cout} channels"
                 )
+            # Quantize the canvas batch to the ladder too: every distinct
+            # (Hb, Wb, Ncap, Bo) combination compiles a blend variant.
+            Bo_cap = _round_ladder(Bo)
             if with_stats:
-                # Measurement runs on the canvas IN HBM, and the stats
-                # ride back inside the same buffer — one fetch per bucket
-                # (a separate stats array would pay one more fixed-latency
-                # fetch per chunk through tunneled hosts).
-                from ..ops.segment_measure import measure_channels_with_canvas
-
+                fill = self.measure_fill_holes
+                measure = (
+                    tuple(
+                        fill is True or (fill and name in fill)
+                        for name in self.measure_channels
+                    ),
+                    32,  # num_segments / n_bg_segments: the measured
+                    64,  # overflow bounds (BASELINE.md round-3 #9)
+                )
+                blend = self._programs(
+                    Hb, Wb, Hq, Wq, self.transfer_dtype, measure
+                )
                 hs = np.zeros((Bo_cap,), np.int32)
                 ws = np.zeros((Bo_cap,), np.int32)
                 for bi, i in enumerate(idxs):
                     hs[bi], ws[bi] = images[i].shape[:2]
-                fill = self.measure_fill_holes
-                fill_channels = tuple(
-                    fill is True or (fill and name in fill)
-                    for name in self.measure_channels
+                flat = blend(
+                    tuple(preds), tb, ty, tx, np.asarray(N, np.int32),
+                    hs, ws, Bo=Bo_cap,
                 )
-                flat = measure_channels_with_canvas(
-                    flat,
-                    hs,
-                    ws,
-                    shape=(Bo_cap, Hq, Wq, Cout),
-                    fill_channels=fill_channels,
-                    out_dtype=self.transfer_dtype,
+            else:
+                blend = self._programs(Hb, Wb, Hq, Wq, self.transfer_dtype)
+                flat = blend(
+                    tuple(preds), tb, ty, tx, np.asarray(N, np.int32),
+                    Bo=Bo_cap,
                 )
             parts.append(flat)
             layout.append((key, idxs, Bo_cap, Cout, with_stats))
@@ -608,6 +658,18 @@ class DeviceTiledInference(Node):
                 results[i] = block[bi, :h, :w].astype(np.float32)
         return results, stats_out
 
+    # NOTE (round-4 negative result, measured twice on the 24-frame
+    # haul): moving the blocking device→host materialization onto a
+    # worker thread to overlap it with the main thread's decode/DEFLATE/
+    # archive work made the steady semseg stage SLOWER, not faster —
+    # 3.7 s with dispatch+fetch on the worker, 3.4 s with dispatch on the
+    # main thread and only np.asarray on the worker, vs 3.0 s fully
+    # synchronous. Through this host's tunnel the PJRT client serializes
+    # transfers and holds the GIL for the copy-out, so the "overlap" only
+    # added thread hand-off latency. Keep fetches synchronous at
+    # emit() time; async pipelining is provided by `in_flight` chunks of
+    # DISPATCHED (not yet fetched) work, which does let the device start
+    # chunk k+1 while chunk k drains. Details: BASELINE.md round-4.
     def transform_stream(self, stream: Stream) -> Stream:
         pending = collections.deque()
         chunk_objs: List = []

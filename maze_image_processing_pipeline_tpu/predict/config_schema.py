@@ -61,6 +61,23 @@ class TilingConfig(TrueToDefaultsModel):
             "objects into one transfer). false = host-side tile blending."
         ),
     )
+    chunk_size: int = Field(
+        32,
+        description=(
+            "Objects packed into one device blend+fetch on the "
+            "device_blend path. Larger chunks amortize the fixed "
+            "per-dispatch/per-fetch latency of remote accelerators over "
+            "more objects at the cost of host memory."
+        ),
+    )
+    in_flight: int = Field(
+        2,
+        description=(
+            "Dispatched-but-unfetched chunks on the device_blend path "
+            "(pipelining depth: the accelerator computes chunk k+1 while "
+            "chunk k is being fetched)."
+        ),
+    )
 
 
 class ModelConfig(BaseModel):

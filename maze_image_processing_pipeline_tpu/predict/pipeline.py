@@ -724,6 +724,8 @@ class Runner(PipelineRunner):
                     tile_size=tiling.size,
                     tile_stride=tiling.stride,
                     batch_size=config.model.batch_size or 8,
+                    chunk_size=tiling.chunk_size,
+                    in_flight=tiling.in_flight,
                     mesh=mesh,
                     transfer_dtype=transfer_dtype,
                     measure_channels=(

@@ -402,8 +402,8 @@ def test_device_tiled_inference_matches_host_blend(tmp_path, rng):
 
     (170, 170) and (150, 200) land in the same (256, 256) pow2 bucket with
     different true extents: they exercise the shared per-bucket fetch
-    window (max member extent on the x64 ladder) AND the [:h, :w] crop
-    where the window actually engages (192 < 256)."""
+    window (max member extent on the quarter-bucket rung ladder) AND the
+    [:h, :w] crop where the window actually engages (192 < 256)."""
     sizes = [(64, 64), (100, 90), (40, 56), (90, 120), (170, 170), (150, 200), (64, 64)]
     crops = [draw_blob(rng, shape=s, r=12) for s in sizes]
     archive_fn = str(tmp_path / "input" / "crops.zip")

@@ -244,7 +244,12 @@ def main() -> None:
                 "model": {
                     "model_fn": semseg_unet,
                     "batch_size": 64,
-                    "tiling": {"size": 256, "stride": 192},
+                    "tiling": {
+                        "size": 256,
+                        "stride": 192,
+                        "chunk_size": int(os.environ.get("E2E_SEMSEG_CHUNK", "32")),
+                        "in_flight": int(os.environ.get("E2E_SEMSEG_INFLIGHT", "2")),
+                    },
                 },
                 "save_raw_h5": True,
                 "segmentation": {"draw": False, "fill_holes": True},
