@@ -8,7 +8,9 @@ The JSON line also carries ``extras`` covering the model paths
   (the reference's accelerator inference node, tile size 1024 at
   ``loki/pipeline.py:513``), bf16, batch 8 — tiles/s/chip, vs the same
   architecture in eager PyTorch on ONE CPU core (the reference's runtime),
-  extrapolated linearly in pixels from a 256² tile.
+  extrapolated linearly in pixels from a 256² tile and corrected by the
+  measured extrapolated→real-1024² ratio (tools/perf_torch_1024.py:
+  7.752 s/tile measured eager, 2026-08-19).
 * ``crops_per_sec_b256``: semseg U-Net + polytaxo classifier per crop
   (256²×3) at batch 256 — crops/s/chip, vs single-core eager PyTorch.
 * ``e2e_objects_per_sec``: the NORTH-STAR number — the full
@@ -369,8 +371,14 @@ def bench_models_cpu_torch():
 
     Returns (unet_1024tile_fps, crops_fps). The U-Net is timed on a 256²
     tile and scaled ×16 in pixels (conv cost is per-pixel) to bound the
-    measurement on this 1-core host.
+    measurement on this 1-core host, then corrected by the MEASURED
+    1024²/extrapolated ratio from one real eager run
+    (tools/perf_torch_1024.py, 2026-08-19: 7.752 s at 1024² vs the
+    6.492 s pixel-linear prediction from its 0.406 s 256² tile = 1.194×
+    — large tiles are ~19% slower per pixel than the extrapolation, so
+    the old uncorrected baseline UNDERSTATED the speedup).
     """
+    _EXTRAP_CORRECTION = 1.194  # measured / pixel-linear, perf_torch_1024.py
     import torch
 
     TorchUNet, TorchClassifier = _torch_models()
@@ -383,7 +391,7 @@ def bench_models_cpu_torch():
             t0 = time.perf_counter()
             unet(x)
             best = min(best, time.perf_counter() - t0)
-        unet_tile_fps = 1.0 / (best * 16.0)
+        unet_tile_fps = 1.0 / (best * 16.0 * _EXTRAP_CORRECTION)
 
         unet3 = TorchUNet(cin=3).eval()
         clf = TorchClassifier(cin=3).eval()
