@@ -59,6 +59,33 @@ def read_tsv(path_or_file, encoding: str = "utf-8") -> pd.DataFrame:
         if not has_types and peek != [""]:
             # Second line is data: prepend it back.
             rows_src = io.StringIO("\t".join(peek) + "\n" + f.read())
+        if has_types:
+            # Push the [t]/[f] conversions into the C parser (one pass)
+            # instead of ~n_columns pandas ops after the fact; fall back to
+            # the lenient per-column path when a [f] cell doesn't parse.
+            body = rows_src.read() if hasattr(rows_src, "read") else rows_src
+            dtype = {
+                col: (np.float64 if t == "[f]" else str)
+                for col, t in zip(header, peek)
+            }
+            try:
+                return pd.read_csv(
+                    io.StringIO(body),
+                    sep="\t",
+                    names=header,
+                    header=None,
+                    dtype=dtype,
+                    keep_default_na=False,
+                    # Empty [f] cells -> NaN (like to_numeric coerce);
+                    # empty [t] cells stay "" (like the replace below).
+                    na_values={
+                        col: [""]
+                        for col, t in zip(header, peek)
+                        if t == "[f]"
+                    },
+                )
+            except ValueError:
+                rows_src = io.StringIO(body)
         df = pd.read_csv(rows_src, sep="\t", names=header, dtype=None, header=None)
         if has_types:
             for col, t in zip(header, peek):

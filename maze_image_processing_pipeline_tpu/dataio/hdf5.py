@@ -99,16 +99,41 @@ class HDF5Writer(Node):
             return False
         if comp is None:
             return False
-        dset = h5.create_dataset(
-            name,
-            shape=value.shape,
-            dtype=value.dtype,
-            compression="gzip",
-            compression_opts=self.compression_opts,
-            shuffle=self.shuffle,
-            **opts,
-        )
-        dset.id.write_direct_chunk((0,) * value.ndim, comp)
+        import h5py
+        from h5py import h5d, h5p, h5s, h5t
+
+        if "/" in name:
+            # Intermediate groups: the low-level create below doesn't make
+            # them; take the (rare) high-level path.
+            dset = h5.create_dataset(
+                name,
+                shape=value.shape,
+                dtype=value.dtype,
+                compression="gzip",
+                compression_opts=self.compression_opts,
+                shuffle=self.shuffle,
+                **opts,
+            )
+            dset.id.write_direct_chunk((0,) * value.ndim, comp)
+            return True
+        # Low-level create: the high-level ``create_dataset`` costs ~1 ms
+        # of Python per dataset (guess_chunk, filter-plumbing, validation)
+        # — measurable at one-dataset-per-object rates (round-4 profile:
+        # ~0.4 s of a 3.5 s semseg stage). The produced file is identical:
+        # one whole-shape chunk, shuffle+DEFLATE(level) filters, no
+        # modification-time tracking.
+        dcpl = h5p.create(h5p.DATASET_CREATE)
+        dcpl.set_chunk(value.shape)
+        if self.shuffle:
+            dcpl.set_shuffle()
+        dcpl.set_deflate(level)
+        if not opts.get("track_times", True):
+            dcpl.set_obj_track_times(False)
+        space = h5s.create_simple(value.shape)
+        tid = h5t.py_create(value.dtype, logical=1)
+        dsid = h5d.create(h5.id, name.encode("utf-8"), tid, space, dcpl=dcpl)
+        dsid.write_direct_chunk((0,) * value.ndim, comp)
+        dsid.close()
         return True
 
     def transform_stream(self, stream: Stream) -> Stream:

@@ -655,7 +655,12 @@ class DeviceTiledInference(Node):
                 block = np.asarray(part).reshape(Bo, Hq, Wq, Cout)
             for bi, i in enumerate(idxs):
                 h, w = images[i].shape[:2]
-                results[i] = block[bi, :h, :w].astype(np.float32)
+                # Keep the transfer dtype: casting to f32 here and back to
+                # f16 at the h5 writer cost two full canvas copies per
+                # object (round-4 profile). Consumers threshold/compare,
+                # which is dtype-agnostic; the one contiguous copy detaches
+                # the object from the bucket block.
+                results[i] = np.ascontiguousarray(block[bi, :h, :w])
         return results, stats_out
 
     # NOTE (round-4 negative result, measured twice on the 24-frame
