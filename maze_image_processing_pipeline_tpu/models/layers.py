@@ -42,8 +42,16 @@ def _group_norm_ref(
     bias: jnp.ndarray,
     num_groups: int,
     epsilon: float,
+    phases: int = 1,
 ) -> jnp.ndarray:
-    """Lane-preserving XLA GroupNorm (forward + autodiff backward)."""
+    """Lane-preserving XLA GroupNorm (forward + autodiff backward).
+
+    ``phases > 1``: the channel axis is a phase-major packing of
+    ``C // phases`` canonical channels (:mod:`.s2d`) — packed channel
+    ``idx`` is canonical channel ``idx % (C // phases)``, and groups are
+    contiguous blocks of CANONICAL channels. Statistics are then identical
+    to the unpacked evaluation.
+    """
     C = x.shape[-1]
     G = num_groups
     red_axes = tuple(range(1, x.ndim - 1))
@@ -55,8 +63,11 @@ def _group_norm_ref(
     s1 = jnp.sum(xf, axis=red_axes)  # (B, C)
     s2 = jnp.sum(xf * xf, axis=red_axes)  # (B, C)
 
+    cidx = jnp.arange(C, dtype=jnp.int32)
+    if phases > 1:
+        cidx = cidx % (C // phases)
     gmat = (
-        jnp.arange(C, dtype=jnp.int32)[:, None] // (C // G)
+        cidx[:, None] // (C // phases // G)
         == jnp.arange(G, dtype=jnp.int32)[None, :]
     ).astype(jnp.float32)  # (C, G)
     gs1 = s1 @ gmat

@@ -335,17 +335,22 @@ def test_unet_s2d_matches_full_resolution():
     x = jnp.asarray(rng.random((2, 32, 48, 3)), jnp.float32)
     for depth in (1, 3):
         full = UNet(out_channels=2, base_features=8, depth=depth,
-                    dtype=jnp.float32, s2d=False)
+                    dtype=jnp.float32, s2d=False, w2d=False)
         phase = UNet(out_channels=2, base_features=8, depth=depth,
-                     dtype=jnp.float32, s2d=True, s2d_min_pixels=0)
+                     dtype=jnp.float32, s2d=True, s2d_min_pixels=0,
+                     w2d=False)
+        wboth = UNet(out_channels=2, base_features=8, depth=depth,
+                     dtype=jnp.float32, s2d=True, s2d_min_pixels=0,
+                     w2d=True, w2d_min_pixels=0)
         p = full.init(jax.random.key(0), x)
-        p2 = phase.init(jax.random.key(0), x)
-        assert jax.tree_util.tree_structure(p) == jax.tree_util.tree_structure(p2)
-        for a, b in zip(jax.tree_util.tree_leaves(p), jax.tree_util.tree_leaves(p2)):
-            np.testing.assert_array_equal(a, b)
-        np.testing.assert_allclose(
-            full.apply(p, x), phase.apply(p, x), atol=1e-4, rtol=1e-4
-        )
+        for variant in (phase, wboth):
+            p2 = variant.init(jax.random.key(0), x)
+            assert jax.tree_util.tree_structure(p) == jax.tree_util.tree_structure(p2)
+            for a, b in zip(jax.tree_util.tree_leaves(p), jax.tree_util.tree_leaves(p2)):
+                np.testing.assert_array_equal(a, b)
+            np.testing.assert_allclose(
+                full.apply(p, x), variant.apply(p, x), atol=1e-4, rtol=1e-4
+            )
 
 
 def test_unet_s2d_gradients_match():
@@ -359,10 +364,11 @@ def test_unet_s2d_gradients_match():
     def loss(module, p):
         return jnp.mean((module.apply(p, x) - y) ** 2)
 
-    full = UNet(out_channels=2, base_features=8, depth=1,
-                dtype=jnp.float32, s2d=False)
-    phase = UNet(out_channels=2, base_features=8, depth=1,
-                 dtype=jnp.float32, s2d=True, s2d_min_pixels=0)
+    full = UNet(out_channels=2, base_features=8, depth=2,
+                dtype=jnp.float32, s2d=False, w2d=False)
+    phase = UNet(out_channels=2, base_features=8, depth=2,
+                 dtype=jnp.float32, s2d=True, s2d_min_pixels=0,
+                 w2d=True, w2d_min_pixels=0)
     p = full.init(jax.random.key(0), x)
     gf = jax.grad(lambda p: loss(full, p))(p)
     gp = jax.grad(lambda p: loss(phase, p))(p)
