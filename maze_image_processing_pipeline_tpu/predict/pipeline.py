@@ -39,6 +39,7 @@ from ..engine import (
     RawOrVariable,
     ReturnOutputs,
     Slice,
+    StreamBuffer,
     StreamObject,
     TiledPipeline,
     Unpack,
@@ -625,6 +626,11 @@ class Runner(PipelineRunner):
 
             Progress(object_id)
 
+            # Decouple archive reading/PNG decode from the device stage:
+            # the reader's host CPU work (native decode releases the GIL)
+            # overlaps the tunnel/device wait of the objects in flight.
+            StreamBuffer(16)
+
             # --- model loading + metadata contract
             model = load_model(config.model.model_fn, dtype=config.model.dtype)
             model_meta_dict = dict(model.meta)
@@ -777,6 +783,12 @@ class Runner(PipelineRunner):
                         mesh=mesh,
                         transfer_dtype=transfer_dtype,
                     )
+
+            # Decouple the device stage from the output taps: HDF5
+            # shuffle+DEFLATE (libdeflate releases the GIL) and TSV/zip
+            # writing run in the consumer thread while the producer waits
+            # on the next chunk's device fetch.
+            StreamBuffer(8)
 
             if config.save_raw_h5:
                 h5_mode_create = config.model.tiling is not False
