@@ -516,6 +516,11 @@ class Runner(PipelineRunner):
 
             Progress("Input objects")
 
+            # Overlap host image decode (native codecs release the GIL)
+            # with the device segmentation stage's tunnel/compute wait —
+            # same pattern as the predict pipeline's buffers.
+            StreamBuffer(16)
+
             image, meta, mask = build_segmentation(
                 pipeline_config.segmentation,
                 pipeline_config.output.target_dir,
