@@ -278,13 +278,16 @@ def _build_tiled_blend(
     ts: int,
     transfer_dtype,
     measure: Optional[tuple] = None,
+    fused_step: Optional[tuple] = None,
 ):
     """Blend program for one shape bucket (auto-specialized on the
     job-count ladder via input shapes). Tiles are cut on the HOST and
-    uploaded per forward chunk: the dominant per-process tunnel cost
-    is LOADING each compiled executable onto the remote device
-    (BASELINE.md round-3 finding), so DeviceTiledInference keeps exactly
-    two device programs — the shared model forward and this blend.
+    uploaded per chunk: the dominant per-process tunnel cost is LOADING
+    each compiled executable onto the remote device (BASELINE.md
+    round-3 finding), so DeviceTiledInference keeps a minimal program
+    set — with ``fused_step`` the model forward + blend (+ measurement)
+    compile into ONE program per bucket; without it, the shared model
+    forward plus this blend (mesh path).
 
     The canvas accumulates at the full tile-grid extent (Hb, Wb) but only
     the (Hq, Wq) window covering the objects' true extents is returned:
@@ -302,12 +305,10 @@ def _build_tiled_blend(
 
     wt = _linear_weight(ts, ts)  # numpy host constant
 
-    def _blend_canvas(pred_chunks, tb, ty, tx, n_jobs, Bo):
-        # Tuple of (bs, ts, ts, Cout) chunks → (Bo, Hq, Wq, Cout)
+    def _blend_canvas(pred_t, tb, ty, tx, n_jobs, Bo):
+        # (N, ts, ts, Cout) predictions → (Bo, Hq, Wq, Cout)
         # f32: accumulate at dynamic offsets; pad jobs carry zero
-        # weight. Chunks ride in as a pytree so no extra concatenate
-        # program is dispatched.
-        pred_t = jnp.concatenate(pred_chunks, axis=0)
+        # weight.
         Cout = pred_t.shape[-1]
         canvas = jnp.zeros((Bo, Hb, Wb, Cout), jnp.float32)
         wsum = jnp.zeros((Bo, Hb, Wb, 1), jnp.float32)
@@ -340,24 +341,15 @@ def _build_tiled_blend(
             out = out[:, :Hq, :Wq]
         return out
 
-    if measure is None:
-
-        @functools.partial(jax.jit, static_argnames=("Bo",))
-        def blend(pred_chunks, tb, ty, tx, n_jobs, *, Bo):
-            out = _blend_canvas(pred_chunks, tb, ty, tx, n_jobs, Bo)
+    def _finish(out, hs, ws, Bo):
+        # Shared transfer tail: cast-for-transfer or fused measurement.
+        if measure is None:
             if transfer_dtype is not None:
                 out = out.astype(transfer_dtype)
             return out.reshape(-1)
-
-        return blend
-
-    fill_channels, num_segments, n_bg_segments = measure
-
-    @functools.partial(jax.jit, static_argnames=("Bo",))
-    def blend_measure(pred_chunks, tb, ty, tx, n_jobs, hs, ws, *, Bo):
         from ..ops.segment_measure import measure_channels_with_canvas
 
-        out = _blend_canvas(pred_chunks, tb, ty, tx, n_jobs, Bo)
+        fill_channels, num_segments, n_bg_segments = measure
         Cout = out.shape[-1]
         return measure_channels_with_canvas(
             out.reshape(-1),
@@ -370,7 +362,59 @@ def _build_tiled_blend(
             out_dtype=transfer_dtype,
         )
 
-    return blend_measure
+    if fused_step is None:
+        # Two-program path (mesh / shared model forward): predictions
+        # ride in as a chunk pytree so no extra concatenate program is
+        # dispatched.
+        if measure is None:
+
+            @functools.partial(jax.jit, static_argnames=("Bo",))
+            def blend(pred_chunks, tb, ty, tx, n_jobs, *, Bo):
+                pred_t = jnp.concatenate(pred_chunks, axis=0)
+                out = _blend_canvas(pred_t, tb, ty, tx, n_jobs, Bo)
+                return _finish(out, None, None, Bo)
+
+            return blend
+
+        @functools.partial(jax.jit, static_argnames=("Bo",))
+        def blend_measure(pred_chunks, tb, ty, tx, n_jobs, hs, ws, *, Bo):
+            pred_t = jnp.concatenate(pred_chunks, axis=0)
+            out = _blend_canvas(pred_t, tb, ty, tx, n_jobs, Bo)
+            return _finish(out, hs, ws, Bo)
+
+        return blend_measure
+
+    # Fused single-dispatch path: model forward + blend (+ measurement)
+    # in ONE program. Each chunk bucket pays ONE ~25 ms tunnel dispatch
+    # instead of ceil(N/bs) forward dispatches + one blend dispatch
+    # (BASELINE.md: dispatches do not pipeline through this tunnel).
+    # lax.map over fixed-bs slabs keeps the forward's shapes identical
+    # to the two-program path, so predictions match bit-for-bit.
+    step_fn, bs = fused_step
+
+    if measure is None:
+
+        @functools.partial(jax.jit, static_argnames=("Bo",))
+        def fused(params, tiles, tb, ty, tx, n_jobs, *, Bo):
+            k = tiles.shape[0] // bs
+            xs = tiles.reshape((k, bs) + tiles.shape[1:])
+            preds = jax.lax.map(lambda x: step_fn(params, x), xs)
+            pred_t = preds.reshape((k * bs,) + preds.shape[2:])
+            out = _blend_canvas(pred_t, tb, ty, tx, n_jobs, Bo)
+            return _finish(out, None, None, Bo)
+
+        return fused
+
+    @functools.partial(jax.jit, static_argnames=("Bo",))
+    def fused_measure(params, tiles, tb, ty, tx, n_jobs, hs, ws, *, Bo):
+        k = tiles.shape[0] // bs
+        xs = tiles.reshape((k, bs) + tiles.shape[1:])
+        preds = jax.lax.map(lambda x: step_fn(params, x), xs)
+        pred_t = preds.reshape((k * bs,) + preds.shape[2:])
+        out = _blend_canvas(pred_t, tb, ty, tx, n_jobs, Bo)
+        return _finish(out, hs, ws, Bo)
+
+    return fused_measure
 
 
 @ReturnOutputs
@@ -456,10 +500,12 @@ class DeviceTiledInference(Node):
         # Process-wide memo, same rationale as JaxInference above.
         from ..jit_cache import get_program
 
+        self._step_key = (model.module, output_key, device_pre, device_post)
         self._step = get_program(
-            ("dt_inference_step", model.module, output_key, device_pre, device_post),
+            ("dt_inference_step",) + self._step_key,
             build_step,
         )
+        self._cout: Optional[int] = None
         if mesh is not None:
             # ONE sharded program: tile chunks shard over the data axis
             # (zero collectives in the forward), params pre-placed on the
@@ -480,13 +526,29 @@ class DeviceTiledInference(Node):
             self._params = jax.device_put(model.params)
             self._data_sharding = None
     def _programs(
-        self, Hb: int, Wb: int, Hq: int, Wq: int, transfer_dtype, measure=None
+        self, Hb: int, Wb: int, Hq: int, Wq: int, transfer_dtype,
+        measure=None, fused=False,
     ):
         # Process-wide memo (jit_cache): the blend closes over shape
         # scalars + the host weight window only — no params, no self —
-        # so re-built pipelines reuse the loaded executables.
+        # so re-built pipelines reuse the loaded executables. The fused
+        # variant additionally embeds the model forward (step identity +
+        # batch size in the key).
         from ..jit_cache import get_program
 
+        if fused:
+            key = (
+                "dt_fused", self._step_key, self.batch_size,
+                Hb, Wb, Hq, Wq, self.tile_size, transfer_dtype, measure,
+            )
+            step_fn, bs = self._step, self.batch_size
+            return get_program(
+                key,
+                lambda: _build_tiled_blend(
+                    Hb, Wb, Hq, Wq, self.tile_size, transfer_dtype,
+                    measure, fused_step=(step_fn, bs),
+                ),
+            )
         key = (
             "dt_blend", Hb, Wb, Hq, Wq, self.tile_size, transfer_dtype, measure
         )
@@ -575,13 +637,34 @@ class DeviceTiledInference(Node):
             # already rounded to f16 flips borderline 0.5-pixels vs the
             # host oracle.
             with_stats = self.measure_channels is not None
-            preds = []
-            for o in range(0, Ncap, self.batch_size):
-                chunk = tiles[o : o + self.batch_size]
-                if self._data_sharding is not None:
-                    chunk = jax.device_put(chunk, self._data_sharding)
-                preds.append(self._step(self._params, chunk))
-            Cout = int(preds[0].shape[-1])
+            # Single-device: ONE fused forward+blend dispatch per chunk
+            # bucket (dispatches cost ~25 ms each and do not pipeline
+            # through tunneled hosts — BASELINE.md). The mesh path keeps
+            # the two-program structure: its forward shards over the
+            # data axis while the blend runs unsharded.
+            use_fused = self._data_sharding is None
+            if use_fused:
+                preds = None
+                if self._cout is None:
+                    self._cout = int(
+                        jax.eval_shape(
+                            self._step,
+                            self._params,
+                            jax.ShapeDtypeStruct(
+                                (self.batch_size, ts, ts) + trailing,
+                                tiles.dtype,
+                            ),
+                        ).shape[-1]
+                    )
+                Cout = self._cout
+            else:
+                preds = []
+                for o in range(0, Ncap, self.batch_size):
+                    chunk = jax.device_put(
+                        tiles[o : o + self.batch_size], self._data_sharding
+                    )
+                    preds.append(self._step(self._params, chunk))
+                Cout = int(preds[0].shape[-1])
             if with_stats and len(self.measure_channels) != Cout:
                 # The host path asserted this with both names; keep the
                 # clear error instead of an IndexError inside tracing.
@@ -603,23 +686,38 @@ class DeviceTiledInference(Node):
                     32,  # num_segments / n_bg_segments: the measured
                     64,  # overflow bounds (BASELINE.md round-3 #9)
                 )
-                blend = self._programs(
-                    Hb, Wb, Hq, Wq, self.transfer_dtype, measure
+                prog = self._programs(
+                    Hb, Wb, Hq, Wq, self.transfer_dtype, measure,
+                    fused=use_fused,
                 )
                 hs = np.zeros((Bo_cap,), np.int32)
                 ws = np.zeros((Bo_cap,), np.int32)
                 for bi, i in enumerate(idxs):
                     hs[bi], ws[bi] = images[i].shape[:2]
-                flat = blend(
-                    tuple(preds), tb, ty, tx, np.asarray(N, np.int32),
-                    hs, ws, Bo=Bo_cap,
-                )
+                if use_fused:
+                    flat = prog(
+                        self._params, tiles, tb, ty, tx,
+                        np.asarray(N, np.int32), hs, ws, Bo=Bo_cap,
+                    )
+                else:
+                    flat = prog(
+                        tuple(preds), tb, ty, tx, np.asarray(N, np.int32),
+                        hs, ws, Bo=Bo_cap,
+                    )
             else:
-                blend = self._programs(Hb, Wb, Hq, Wq, self.transfer_dtype)
-                flat = blend(
-                    tuple(preds), tb, ty, tx, np.asarray(N, np.int32),
-                    Bo=Bo_cap,
+                prog = self._programs(
+                    Hb, Wb, Hq, Wq, self.transfer_dtype, fused=use_fused
                 )
+                if use_fused:
+                    flat = prog(
+                        self._params, tiles, tb, ty, tx,
+                        np.asarray(N, np.int32), Bo=Bo_cap,
+                    )
+                else:
+                    flat = prog(
+                        tuple(preds), tb, ty, tx, np.asarray(N, np.int32),
+                        Bo=Bo_cap,
+                    )
             parts.append(flat)
             layout.append((key, idxs, Bo_cap, Cout, with_stats))
 

@@ -55,6 +55,10 @@ def parse_args():
     ap.add_argument("--distill-steps", type=int, default=200)
     ap.add_argument("--profile", action="store_true",
         help="cProfile the steady (last) repeat of each stage to stderr")
+    ap.add_argument("--timing", action="store_true",
+        help="wall-clock stage-component attribution (tools/stage_timing) "
+        "printed to stderr per repeat; unlike --profile it does not "
+        "double-count GIL interleave across threads")
     ap.add_argument(
         "--repeat",
         type=int,
@@ -188,6 +192,15 @@ def main() -> None:
         # recorded as baselines (round-3 advisor finding).
         times = []
         n_timed = max(1, args.repeat)
+        if args.timing:
+            import stage_timing
+
+            stage_timing.install.done = getattr(
+                stage_timing.install, "done", False
+            )
+            if not stage_timing.install.done:
+                stage_timing.install()
+                stage_timing.install.done = True
         for rep in range(n_timed + (1 if args.profile else 0)):
             prof = None
             if args.profile and rep == n_timed:
@@ -197,6 +210,10 @@ def main() -> None:
                 prof.enable()
             t0 = time.perf_counter()
             stage_fn(rep)
+            if args.timing:
+                import stage_timing
+
+                stage_timing.report(f"{name} rep{rep}")
             if prof is None:
                 times.append(time.perf_counter() - t0)
             else:
