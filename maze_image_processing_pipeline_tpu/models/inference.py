@@ -281,13 +281,13 @@ def _build_tiled_blend(
     fused_step: Optional[tuple] = None,
 ):
     """Blend program for one shape bucket (auto-specialized on the
-    job-count ladder via input shapes). Tiles are cut on the HOST and
-    uploaded per chunk: the dominant per-process tunnel cost is LOADING
-    each compiled executable onto the remote device (BASELINE.md
-    round-3 finding), so DeviceTiledInference keeps a minimal program
-    set — with ``fused_step`` the model forward + blend (+ measurement)
-    compile into ONE program per bucket; without it, the shared model
-    forward plus this blend (mesh path).
+    job-count ladder via input shapes). The dominant per-process tunnel
+    cost is LOADING each compiled executable onto the remote device
+    (BASELINE.md round-3 finding), so DeviceTiledInference keeps a
+    minimal program set — with ``fused_step`` the tile extraction from a
+    row-packed image buffer + model forward + blend (+ measurement)
+    compile into ONE program per bucket; without it (mesh path), tiles
+    are cut on the host and the shared sharded forward feeds this blend.
 
     The canvas accumulates at the full tile-grid extent (Hb, Wb) but only
     the (Hq, Wq) window covering the objects' true extents is returned:
@@ -384,33 +384,69 @@ def _build_tiled_blend(
 
         return blend_measure
 
-    # Fused single-dispatch path: model forward + blend (+ measurement)
-    # in ONE program. Each chunk bucket pays ONE ~25 ms tunnel dispatch
-    # instead of ceil(N/bs) forward dispatches + one blend dispatch
-    # (BASELINE.md: dispatches do not pipeline through this tunnel).
-    # lax.map over fixed-bs slabs keeps the forward's shapes identical
-    # to the two-program path, so predictions match bit-for-bit.
+    # Fused single-dispatch path: tile extraction + model forward +
+    # blend (+ measurement) in ONE program. Each chunk bucket pays ONE
+    # ~25 ms tunnel dispatch instead of ceil(N/bs) forward dispatches +
+    # one blend dispatch (BASELINE.md: dispatches do not pipeline
+    # through this tunnel). The chunk's images ride up ROW-PACKED
+    # (sum-of-heights x Wp, exact rows, zero-padded columns) instead of
+    # as host-cut (N, ts, ts) tiles: the host→device link runs at
+    # ~35-80 MB/s, and padded tiles upload 2-4x the true pixels
+    # (pad-to-tile for vignettes, overlap duplication for large
+    # objects, batch-ladder padding). lax.map over fixed-bs slabs keeps
+    # the forward's shapes identical to the two-program path, so
+    # predictions match bit-for-bit.
     step_fn, bs = fused_step
+
+    def _extract_tiles(rows, tx, toff, hlim, Ncap):
+        # rows: (S_cap, Wp[, C]) — job j's tile is rows[toff[j]:+ts,
+        # tx[j]:+ts] with rows >= hlim[j] zeroed (a window may read into
+        # the NEXT object's rows; the mask restores the host pad
+        # exactly). Columns beyond an image's width are zero in the host
+        # buffer; when the whole bucket is narrower than a tile
+        # (Wp < ts) the un-sliced tile columns stay zero from the init.
+        # Pad jobs carry hlim=0 → all-zero tiles.
+        Ws = min(ts, rows.shape[1])
+        sizes = (ts, Ws) + rows.shape[2:]
+        tiles0 = jnp.zeros((Ncap, ts, ts) + rows.shape[2:], rows.dtype)
+        ridx = jnp.arange(ts, dtype=jnp.int32)
+
+        def body(j, tiles):
+            src = jax.lax.dynamic_slice(
+                rows,
+                (toff[j], tx[j]) + (0,) * (rows.ndim - 2),
+                sizes,
+            )
+            valid = (ridx < hlim[j]).reshape((ts,) + (1,) * (rows.ndim - 1))
+            src = jnp.where(valid, src, jnp.zeros((), rows.dtype))
+            return jax.lax.dynamic_update_slice(
+                tiles, src[None], (j,) + (0,) * rows.ndim
+            )
+
+        return jax.lax.fori_loop(0, Ncap, body, tiles0)
+
+    def _forward(params, rows, tx, toff, hlim, Ncap):
+        tiles = _extract_tiles(rows, tx, toff, hlim, Ncap)
+        k = Ncap // bs
+        xs = tiles.reshape((k, bs) + tiles.shape[1:])
+        preds = jax.lax.map(lambda x: step_fn(params, x), xs)
+        return preds.reshape((k * bs,) + preds.shape[2:])
 
     if measure is None:
 
-        @functools.partial(jax.jit, static_argnames=("Bo",))
-        def fused(params, tiles, tb, ty, tx, n_jobs, *, Bo):
-            k = tiles.shape[0] // bs
-            xs = tiles.reshape((k, bs) + tiles.shape[1:])
-            preds = jax.lax.map(lambda x: step_fn(params, x), xs)
-            pred_t = preds.reshape((k * bs,) + preds.shape[2:])
+        @functools.partial(jax.jit, static_argnames=("Bo", "Ncap"))
+        def fused(params, rows, tb, ty, tx, toff, hlim, n_jobs, *, Bo, Ncap):
+            pred_t = _forward(params, rows, tx, toff, hlim, Ncap)
             out = _blend_canvas(pred_t, tb, ty, tx, n_jobs, Bo)
             return _finish(out, None, None, Bo)
 
         return fused
 
-    @functools.partial(jax.jit, static_argnames=("Bo",))
-    def fused_measure(params, tiles, tb, ty, tx, n_jobs, hs, ws, *, Bo):
-        k = tiles.shape[0] // bs
-        xs = tiles.reshape((k, bs) + tiles.shape[1:])
-        preds = jax.lax.map(lambda x: step_fn(params, x), xs)
-        pred_t = preds.reshape((k * bs,) + preds.shape[2:])
+    @functools.partial(jax.jit, static_argnames=("Bo", "Ncap"))
+    def fused_measure(
+        params, rows, tb, ty, tx, toff, hlim, n_jobs, hs, ws, *, Bo, Ncap
+    ):
+        pred_t = _forward(params, rows, tx, toff, hlim, Ncap)
         out = _blend_canvas(pred_t, tb, ty, tx, n_jobs, Bo)
         return _finish(out, hs, ws, Bo)
 
@@ -604,28 +640,88 @@ class DeviceTiledInference(Node):
             key = (Hb, Wb, Hq, Wq) + bkey[2:]
             Bo = len(idxs)
             trailing = images[idxs[0]].shape[2:]
+            dtype = np.dtype(bkey[2])
+            # Single-device: ONE fused tile-extract+forward+blend dispatch
+            # per chunk bucket (dispatches cost ~25 ms each and do not
+            # pipeline through tunneled hosts — BASELINE.md). The mesh
+            # path keeps the two-program structure: its forward shards
+            # over the data axis while the blend runs unsharded.
+            use_fused = self._data_sharding is None
             jobs = []
-            tile_arrays = []
-            for bi, i in enumerate(idxs):
-                img = images[i]
-                h, w = img.shape[:2]
-                for y in _tile_starts(h, ts, stride):
-                    for x in _tile_starts(w, ts, stride):
-                        tile = img[y : y + ts, x : x + ts]
-                        if tile.shape[:2] != (ts, ts):
-                            pad = [
-                                (0, ts - tile.shape[0]),
-                                (0, ts - tile.shape[1]),
-                            ] + [(0, 0)] * (img.ndim - 2)
-                            tile = np.pad(tile, pad)
-                        jobs.append((bi, y, x))
-                        tile_arrays.append(tile)
-            N = len(jobs)
-            Ncap = self.batch_size * _round_ladder(-(-N // self.batch_size))
-            jobs = jobs + [(0, 0, 0)] * (Ncap - N)
-            tiles = np.zeros((Ncap, ts, ts) + trailing, images[idxs[0]].dtype)
-            for j, t in enumerate(tile_arrays):
-                tiles[j] = t
+            if use_fused:
+                # Row-packed upload: images stacked vertically at their
+                # true heights, columns zero-padded to Wp. The device
+                # extracts the tile grid from this buffer, so the
+                # host→device link (~35-80 MB/s) carries ~the true pixels
+                # instead of padded tiles (pad-to-tile for vignettes,
+                # overlap duplication for large objects, batch-ladder pad
+                # jobs: 2-13x the bytes on the measured hauls). S/Wp ride
+                # coarse rungs so the executable-variant count stays
+                # bounded (dense-haul finding: every distinct program
+                # pays a 5-800 s per-process load through this tunnel).
+                offs = []
+                off = 0
+                rows_needed = 0
+                wneed = 128
+                for bi, i in enumerate(idxs):
+                    img = images[i]
+                    h, w = img.shape[:2]
+                    offs.append(off)
+                    for y in _tile_starts(h, ts, stride):
+                        hl = min(ts, h - y)
+                        for x in _tile_starts(w, ts, stride):
+                            jobs.append((bi, y, x, off + y, hl))
+                    rows_needed = max(rows_needed, off + max(h, ts))
+                    wneed = max(wneed, w)
+                    off += h
+                N = len(jobs)
+                Ncap = self.batch_size * _round_ladder(
+                    -(-N // self.batch_size)
+                )
+                jobs = jobs + [(0, 0, 0, 0, 0)] * (Ncap - N)
+                # Wp: quarter-Wb rungs (≤4 variants/bucket); S: the
+                # {1,1.5}·2^k ladder (≤33% pad rows, ~2 rungs/octave).
+                rung_wp = max(Wb // 4, 128)
+                Wp = min(Wb, -(-wneed // rung_wp) * rung_wp)
+                S_cap = _round_ladder(rows_needed)
+                rows = np.zeros((S_cap, Wp) + trailing, dtype)
+                for o, i in zip(offs, idxs):
+                    img = images[i]
+                    rows[o : o + img.shape[0], : img.shape[1]] = img
+                # dynamic_slice CLAMPS out-of-range starts (silently
+                # shifting a tile) — the packing must keep every window
+                # in range.
+                assert all(
+                    j[3] + ts <= S_cap and j[2] + min(ts, Wp) <= Wp
+                    for j in jobs
+                ), (S_cap, Wp, ts)
+                toff = np.asarray([j[3] for j in jobs], np.int32)
+                hlim = np.asarray([j[4] for j in jobs], np.int32)
+                tiles = None
+            else:
+                tile_arrays = []
+                for bi, i in enumerate(idxs):
+                    img = images[i]
+                    h, w = img.shape[:2]
+                    for y in _tile_starts(h, ts, stride):
+                        for x in _tile_starts(w, ts, stride):
+                            tile = img[y : y + ts, x : x + ts]
+                            if tile.shape[:2] != (ts, ts):
+                                pad = [
+                                    (0, ts - tile.shape[0]),
+                                    (0, ts - tile.shape[1]),
+                                ] + [(0, 0)] * (img.ndim - 2)
+                                tile = np.pad(tile, pad)
+                            jobs.append((bi, y, x))
+                            tile_arrays.append(tile)
+                N = len(jobs)
+                Ncap = self.batch_size * _round_ladder(
+                    -(-N // self.batch_size)
+                )
+                jobs = jobs + [(0, 0, 0)] * (Ncap - N)
+                tiles = np.zeros((Ncap, ts, ts) + trailing, dtype)
+                for j, t in enumerate(tile_arrays):
+                    tiles[j] = t
             tb = np.asarray([j[0] for j in jobs], np.int32)
             ty = np.asarray([j[1] for j in jobs], np.int32)
             tx = np.asarray([j[2] for j in jobs], np.int32)
@@ -637,12 +733,6 @@ class DeviceTiledInference(Node):
             # already rounded to f16 flips borderline 0.5-pixels vs the
             # host oracle.
             with_stats = self.measure_channels is not None
-            # Single-device: ONE fused forward+blend dispatch per chunk
-            # bucket (dispatches cost ~25 ms each and do not pipeline
-            # through tunneled hosts — BASELINE.md). The mesh path keeps
-            # the two-program structure: its forward shards over the
-            # data axis while the blend runs unsharded.
-            use_fused = self._data_sharding is None
             if use_fused:
                 preds = None
                 if self._cout is None:
@@ -652,7 +742,7 @@ class DeviceTiledInference(Node):
                             self._params,
                             jax.ShapeDtypeStruct(
                                 (self.batch_size, ts, ts) + trailing,
-                                tiles.dtype,
+                                dtype,
                             ),
                         ).shape[-1]
                     )
@@ -696,8 +786,9 @@ class DeviceTiledInference(Node):
                     hs[bi], ws[bi] = images[i].shape[:2]
                 if use_fused:
                     flat = prog(
-                        self._params, tiles, tb, ty, tx,
-                        np.asarray(N, np.int32), hs, ws, Bo=Bo_cap,
+                        self._params, rows, tb, ty, tx, toff, hlim,
+                        np.asarray(N, np.int32), hs, ws,
+                        Bo=Bo_cap, Ncap=Ncap,
                     )
                 else:
                     flat = prog(
@@ -710,8 +801,8 @@ class DeviceTiledInference(Node):
                 )
                 if use_fused:
                     flat = prog(
-                        self._params, tiles, tb, ty, tx,
-                        np.asarray(N, np.int32), Bo=Bo_cap,
+                        self._params, rows, tb, ty, tx, toff, hlim,
+                        np.asarray(N, np.int32), Bo=Bo_cap, Ncap=Ncap,
                     )
                 else:
                     flat = prog(

@@ -522,6 +522,69 @@ def test_device_tiled_inference_uint16_inputs(tmp_path, rng):
         np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
 
 
+def test_device_tiled_inference_narrow_bucket_and_row_packing(tmp_path, rng):
+    """The fused path uploads each chunk ROW-PACKED (images stacked
+    vertically, columns padded to Wp) and extracts tiles on device. Two
+    regimes the standard parity test (ts=64) never reaches:
+
+    * Wp < tile_size — vignettes narrower than the 128-lane floor inside
+      a large tile (the production semseg shape: 100 px crops, 256
+      tiles): the device pads the missing tile columns with zeros.
+    * a tile window reading past an image's last row into the NEXT
+      image's rows — the hlim mask must restore the host zero-pad
+      exactly, or image k+1's pixels bleed into image k's prediction.
+
+    Both crops share one (256, 256) bucket, stack consecutively in the
+    rows buffer, and are shorter than the 192-tile, so every window
+    overruns. Oracle: the host TiledPipeline path via per-image runs."""
+    from maze_image_processing_pipeline_tpu.models import (
+        DeviceTiledInference,
+        JaxInference,
+        load_model,
+        save_model,
+    )
+    from maze_image_processing_pipeline_tpu.engine.tiles import TiledPipeline
+
+    crops = [
+        draw_blob(rng, shape=(100, 90), r=14),
+        draw_blob(rng, shape=(80, 110), r=12),
+        draw_blob(rng, shape=(120, 60), r=10),
+    ]
+
+    model_dir = str(tmp_path / "unet_nb")
+    module = UNet(out_channels=2, base_features=4, depth=1, dtype=jnp.float32)
+    params = module.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
+    save_model(
+        model_dir, module, params,
+        outputs={"pred": {"channel_names": ["a", "b"]}},
+    )
+    model = load_model(model_dir, dtype="float32")
+
+    dev = []
+    with Pipeline() as pl:
+        img = Unpack(crops)
+        pred, _ = DeviceTiledInference(
+            model, img, tile_size=192, tile_stride=144, batch_size=2
+        )
+        Call(lambda p: dev.append(np.asarray(p)), pred)
+    pl.run()
+
+    host = []
+    with Pipeline() as pl:
+        img = Unpack(crops)
+        with TiledPipeline(
+            (192, 192), img, tile_stride=(144, 144), blend_strategy="linear"
+        ):
+            pred = JaxInference(model, img, batch_size=2)
+        Call(lambda p: host.append(np.asarray(p)), pred)
+    pl.run()
+
+    assert len(dev) == len(host) == len(crops)
+    for a, b, c in zip(dev, host, crops):
+        assert a.shape == c.shape + (2,)
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
 def test_batched_segment_measure_overflow_falls_back_to_host(rng):
     """A noisy mask with more components than the device one-hot bound
     (num_segments=16) must still report the TRUE largest component —
