@@ -49,6 +49,13 @@ class HDF5Writer(Node):
             filter, readable everywhere). On float prediction maps it
             measured both faster AND smaller than plain DEFLATE
             (1.97 → 1.54 s / 51 → 49 MB on a real 81 MB haul's maps).
+        adaptive_store: when the stream's chunks measure near-incompressible
+            (DEFLATE ratio EMA > 0.92), write DEFLATE *stored* blocks
+            (~memcpy) instead of burning host CPU for <8% size — noisy
+            float payloads ran at 11-47 MB/s through DEFLATE on this
+            1-core host. Still standard gzip-filtered HDF5 (every reader
+            inflates stored blocks); compressible streams are unaffected,
+            and the configured level is re-probed every 32 chunks.
         file_attrs: optional ``{name: value}`` attributes written to the
             root group of every file this node creates (provenance, e.g.
             the storage dtype of raw prediction maps).
@@ -62,6 +69,7 @@ class HDF5Writer(Node):
         compression: Optional[str] = "gzip",
         compression_opts: Optional[int] = None,
         shuffle: bool = True,
+        adaptive_store: bool = True,
         file_attrs: Optional[Dict[str, object]] = None,
     ) -> None:
         if dataset_mode not in ("create", "append"):
@@ -72,7 +80,10 @@ class HDF5Writer(Node):
         self.compression = compression
         self.compression_opts = compression_opts
         self.shuffle = shuffle
+        self.adaptive_store = adaptive_store
         self.file_attrs = dict(file_attrs or {})
+        self._ratio_ema: Optional[float] = None
+        self._stored_since_probe = 0
         super().__init__()
 
     def _write_direct(self, h5, name: str, value: np.ndarray, opts) -> bool:
@@ -84,21 +95,45 @@ class HDF5Writer(Node):
         if value.dtype.hasobject:
             return False
         level = 4 if self.compression_opts is None else self.compression_opts
+        # Adaptive stored blocks: near-incompressible streams (ratio EMA
+        # > 0.92 over the probed chunks) skip the DEFLATE match search —
+        # see the class docstring. Tiny chunks always compress (cost is
+        # negligible and they keep the EMA fresh).
+        use_level = level
+        if (
+            self.adaptive_store
+            and level > 0
+            and value.nbytes >= 4096
+            and self._ratio_ema is not None
+            and self._ratio_ema > 0.92
+            and self._stored_since_probe < 32
+        ):
+            use_level = 0
         try:
             # One native call does shuffle + DEFLATE (the numpy
             # byte-transpose alone cost ~0.4 s per haul of raw maps).
-            comp = hdf5_chunk_pack(value, level, self.shuffle)
+            comp = hdf5_chunk_pack(value, use_level, self.shuffle)
             if comp is None:
                 raw = (
                     _shuffle_bytes(value)
                     if self.shuffle
                     else np.ascontiguousarray(value).tobytes()
                 )
-                comp = zlib_compress(raw, level)
+                comp = zlib_compress(raw, use_level)
         except (TypeError, ValueError):
             return False
         if comp is None:
             return False
+        if use_level == 0:
+            self._stored_since_probe += 1
+        elif value.nbytes >= 4096:
+            ratio = len(comp) / value.nbytes
+            self._ratio_ema = (
+                ratio
+                if self._ratio_ema is None
+                else 0.7 * self._ratio_ema + 0.3 * ratio
+            )
+            self._stored_since_probe = 0
         import h5py
         from h5py import h5d, h5p, h5s, h5t
 

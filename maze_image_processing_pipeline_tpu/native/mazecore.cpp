@@ -534,7 +534,10 @@ size_t chunk_pack(const uint8_t* data, size_t nbytes, int itemsize,
 #ifdef HAVE_LIBDEFLATE
     {
         static thread_local libdeflate_compressor* comps[13] = {};
-        int lvl = level < 1 ? 1 : (level > 12 ? 12 : level);
+        // Level 0 = DEFLATE stored blocks (still a valid zlib stream the
+        // HDF5 gzip filter inflates) at ~memcpy speed — the writer's
+        // adaptive path uses it for payloads DEFLATE can't shrink.
+        int lvl = level < 0 ? 0 : (level > 12 ? 12 : level);
         if (!comps[lvl]) comps[lvl] = libdeflate_alloc_compressor(lvl);
         if (comps[lvl])
             written = libdeflate_zlib_compress(comps[lvl], src, nbytes, out,

@@ -69,6 +69,17 @@ class PipelineRunner(abc.ABC):
         with open(task_fn) as f:
             config_dict = yaml.safe_load(f)
 
+        # Backend override: MAZE_IPP_PLATFORM=cpu forces the CPU backend
+        # for a CLI run (smoke tests, hosts whose accelerator is wedged).
+        # Applied via the config API because some TPU plugins ignore the
+        # JAX_PLATFORMS env var entirely (see CLAUDE.md platform traps).
+        platform = os.environ.get("MAZE_IPP_PLATFORM")
+        if platform:
+            import jax
+
+            root_logger.info("MAZE_IPP_PLATFORM=%s: forcing backend", platform)
+            jax.config.update("jax_platforms", platform)
+
         # Persistent XLA compilation cache: repeat runs skip the minutes of
         # jit compiles on tunneled TPU hosts. Configured via the config API
         # because some TPU plugins ignore the env var (see CLAUDE.md);

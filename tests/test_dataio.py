@@ -296,6 +296,65 @@ class TestHDF5:
                 np.testing.assert_array_equal(h5[f"obj{i}"][()], a)
 
 
+    def test_adaptive_store_for_incompressible_streams(self, tmp_path, rng):
+        """Noisy payloads (DEFLATE ratio ~1) switch to stored DEFLATE
+        blocks after the ratio EMA settles — still standard gzip-filtered
+        HDF5 that h5py inflates bit-identically — and re-probe the
+        configured level every 32 chunks. Compressible streams must keep
+        compressing (file size stays small)."""
+        import h5py
+
+        def write(fn, arrs, **kw):
+            writers = []
+
+            def capture(node):
+                writers.append(node)
+                return node
+
+            with Pipeline() as p:
+                i = Unpack(list(range(len(arrs))))
+                v = Call(lambda x: arrs[x], i)
+                oid = Call(lambda x: f"obj{x}", i)
+                w = HDF5Writer(
+                    fn, [(oid, v)], dataset_mode="create",
+                    compression="gzip", compression_opts=1, **kw,
+                )
+            p.run()
+            return w
+
+        # 40 random-byte chunks — truly incompressible (uniform f16 maps
+        # shuffle to ~0.85: the exponent plane compresses; real haul
+        # canvases measure ~0.45 and never trip the stored path).
+        noisy = [
+            rng.integers(0, 256, (64, 64, 2), dtype=np.uint8)
+            for _ in range(40)
+        ]
+        fn = str(tmp_path / "noisy.h5")
+        node = write(fn, noisy)
+        # ratio EMA must have tripped the stored path for most chunks
+        assert node._ratio_ema is not None and node._ratio_ema > 0.92
+        assert node._stored_since_probe > 0
+        with h5py.File(fn) as h5:
+            for i, a in enumerate(noisy):
+                got = h5[f"obj{i}"]
+                assert got.compression == "gzip"
+                np.testing.assert_array_equal(got[()], a)
+
+        # Compressible stream: adaptive must NOT store (size stays small).
+        smooth = [np.zeros((64, 64, 2), np.float16) for _ in range(10)]
+        fn_s = str(tmp_path / "smooth.h5")
+        node = write(fn_s, smooth)
+        assert node._ratio_ema is not None and node._ratio_ema < 0.5
+        assert os.path.getsize(fn_s) < 10 * 64 * 64 * 2 * 2 / 4  # zeros compress
+
+        # adaptive_store=False always compresses at the configured level.
+        fn_off = str(tmp_path / "off.h5")
+        node = write(fn_off, noisy[:5], adaptive_store=False)
+        assert node._stored_since_probe == 0
+        with h5py.File(fn_off) as h5:
+            np.testing.assert_array_equal(h5["obj0"][()], noisy[0])
+
+
 class TestLokiReaders:
     def test_sample_tree(self, tmp_path):
         sample = make_loki_sample(str(tmp_path))

@@ -76,6 +76,19 @@ def install():
 
     _wrap(native, "hdf5_chunk_pack", "h5_pack")
 
+    # loki stage attribution (the buckets above only cover predict)
+    from maze_image_processing_pipeline_tpu.loki import device_seg as dseg
+    from maze_image_processing_pipeline_tpu.dataio import imageio as iio
+
+    _wrap(node_cls(dseg.DeviceTiledSegmentation), "_start_crops", "crop_start")
+    _wrap(node_cls(dseg.DeviceTiledSegmentation), "_finish_crops", "crop_finish")
+    _wrap(dseg, "_unpack_stats_batch", "stats_fetch")
+    # ecotaxa.py binds these at import time — patch ITS references (the
+    # writer's vignette PNG encode and the reader's decode); ImageReader
+    # resolves decode_image via the imageio module at call time.
+    _wrap(eco, "encode_image", "encode_img")
+    _wrap(iio, "decode_image", "decode_img")
+
 
 def report(stage: str):
     parts = "  ".join(
