@@ -22,9 +22,19 @@ __all__ = ["Stitch", "StitchedImage"]
 
 
 class StitchedImage(np.ndarray):
-    """ndarray subclass carrying the number of stitched source regions."""
+    """ndarray subclass carrying the number of stitched source regions.
+
+    ``sources`` (set only on the instance Stitch emits, not on derived
+    views) holds the pasted ``[(crop, oy, ox), ...]`` in paste order plus
+    the fill value: device consumers (``loki.device_seg``) upload the
+    crops and re-compose on the accelerator instead of shipping the
+    mostly-background canvas (~1% occupancy on LOKI frames) through a
+    bandwidth-bound host→device link. Composition on device reproduces
+    the exact last-write-wins paste below."""
 
     n_regions: int = 1
+    sources = None
+    fill_value = 0
 
     def __array_finalize__(self, obj):
         if obj is not None:
@@ -79,6 +89,10 @@ class Stitch(Node):
 
                 stitched = canvas.view(StitchedImage)
                 stitched.n_regions = len(members)
+                stitched.sources = [
+                    (img, oy, ox) for _, img, oy, ox in members
+                ]
+                stitched.fill_value = self.fill_value
 
                 first = members[0][0]
                 out = first.copy()

@@ -267,6 +267,42 @@ def _finalize_frame(labels, n, props, post_cfg):
     return labels, props, n
 
 
+def _build_compose(B: int, Hb: int, Wb: int, CH: int, CW: int):
+    """Device frame composition from row-packed crops.
+
+    Stitched LOKI frames are ~99% background (a handful of vignettes
+    pasted on black), yet the dense (B, Hb, Wb) group buffer crossed the
+    bandwidth-bound host→device link (~31 MB per 24-frame haul at
+    20-80 MB/s). Crops ride up row-packed instead and the device pastes
+    them — exact ``Stitch`` semantics: crop order, last-write-wins,
+    zero background (``engine/stitch.py:77-78``). Composition happens
+    into a (CH, CW)-padded canvas so ``dynamic_update_slice`` can never
+    clamp (a clamped start would silently shift a paste)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def compose(rows, cb, cy, cx, coff, chs, cws):
+        canvas = jnp.zeros((B, Hb + CH, Wb + CW), rows.dtype)
+        ridx = jnp.arange(CH, dtype=jnp.int32)[:, None]
+        cidx = jnp.arange(CW, dtype=jnp.int32)[None, :]
+
+        def body(j, canvas):
+            src = jax.lax.dynamic_slice(rows, (coff[j], 0), (CH, CW))
+            mask = (ridx < chs[j]) & (cidx < cws[j])
+            cur = jax.lax.dynamic_slice(
+                canvas, (cb[j], cy[j], cx[j]), (1, CH, CW)
+            )[0]
+            return jax.lax.dynamic_update_slice(
+                canvas, jnp.where(mask, src, cur)[None], (cb[j], cy[j], cx[j])
+            )
+
+        canvas = jax.lax.fori_loop(0, cb.shape[0], body, canvas)
+        return canvas[:, :Hb, :Wb]
+
+    return compose
+
+
 def _build_loki_blend(Hp: int, Wp: int, ts: int, B: int, wt):
     """The jitted tile→frame blend for one (bucket, tile, frame-group)
     shape combination; see ``DeviceTiledSegmentation._build``."""
@@ -531,6 +567,50 @@ class DeviceTiledSegmentation(Node):
             return post(pred, frames_dev)
 
         return fn, offsets
+
+    def _compose_group(self, group, Hb, Wb, dtype, device):
+        """Upload a frame group as row-packed crops and compose on device
+        (see :func:`_build_compose`); returns the (B, Hb, Wb) frames."""
+        import jax
+
+        from ..jit_cache import get_program
+
+        entries = []  # (b, y, x, crop 2D)
+        for b, g in enumerate(group):
+            for crop, oy, ox in g[5]:
+                crop = np.asarray(crop)
+                if crop.ndim == 3:
+                    # The stream intake slices channel 0 off 3D frames;
+                    # paste-then-slice == slice-then-paste.
+                    crop = crop[..., 0]
+                entries.append((b, int(oy), int(ox), crop.astype(dtype, copy=False)))
+        B = self._frame_batch
+        CH = 1 << (max(c.shape[0] for *_, c in entries) - 1).bit_length()
+        CW = max(
+            128, 1 << (max(c.shape[1] for *_, c in entries) - 1).bit_length()
+        )
+        Ncap = _round_ladder(len(entries))
+        total = sum(c.shape[0] for *_, c in entries) + CH
+        S_cap = _round_ladder(total)
+        rows = np.zeros((S_cap, CW), dtype)
+        cb = np.zeros((Ncap,), np.int32)
+        cy = np.zeros((Ncap,), np.int32)
+        cx = np.zeros((Ncap,), np.int32)
+        coff = np.zeros((Ncap,), np.int32)
+        chs = np.zeros((Ncap,), np.int32)  # pad jobs: ch=cw=0 paste nothing
+        cws = np.zeros((Ncap,), np.int32)
+        off = 0
+        for j, (b, y, x, crop) in enumerate(entries):
+            h, w = crop.shape
+            rows[off : off + h, :w] = crop
+            cb[j], cy[j], cx[j], coff[j], chs[j], cws[j] = b, y, x, off, h, w
+            off += h
+        prog = get_program(
+            ("loki_compose", B, Hb, Wb, CH, CW, str(dtype)),
+            lambda: _build_compose(B, Hb, Wb, CH, CW),
+        )
+        rows_dev = jax.device_put(rows, device)
+        return prog(rows_dev, cb, cy, cx, coff, chs, cws)
 
     def _plan_crops(self, stats, dims, Hp, Wp):
         """Per-region crop windows, bucketed by pow2 window size.
@@ -903,13 +983,25 @@ class DeviceTiledSegmentation(Node):
             imgs = np.zeros((B, Hb, Wb), group[0][1].dtype)
             hs = np.zeros((B,), np.int32)
             ws = np.zeros((B,), np.int32)
-            for b, (_, image, H, W, _h) in enumerate(group):
+            for b, (_, image, H, W, *_rest) in enumerate(group):
                 imgs[b, :H, :W] = image
                 hs[b], ws[b] = H, W
             fn, offsets = self._get_fn(Hb, Wb)
             device = self._devices[group_idx % len(self._devices)]
             group_idx += 1
-            imgs_dev = jax.device_put(imgs, device)
+            # Sparse upload: stitched frames are ~99% background, so when
+            # every member carries its source crops (zero fill), upload
+            # only those and compose on device. The dense host buffer
+            # `imgs` stays for skip-empty + crop intensity slicing.
+            if (
+                os.environ.get("MAZE_DEVICE_COMPOSE", "1") != "0"
+                and all(g[5] is not None and g[6] == 0 for g in group)
+            ):
+                imgs_dev = self._compose_group(
+                    group, Hb, Wb, imgs.dtype, device
+                )
+            else:
+                imgs_dev = jax.device_put(imgs, device)
             ts = self._cfg.tile_size
             # Tiles are cut on the host: skip-empty keeps only tiles with
             # any nonzero pixel (reference loki/pipeline.py:518); without
@@ -939,7 +1031,7 @@ class DeviceTiledSegmentation(Node):
                 if copy_async is not None:
                     copy_async()
             entry = self._Entry(objs, out, imgs_dev, imgs, dims, key)
-            for b, (_, _, _, _, h) in enumerate(group):
+            for b, (_, _, _, _, h, *_rest) in enumerate(group):
                 h.entry = entry
                 h.slot = b
             pending.append(entry)
@@ -969,7 +1061,13 @@ class DeviceTiledSegmentation(Node):
 
         with closing_if_closable(stream):
             for obj in stream:
-                image = np.asarray(self.prepare_input(obj, "image"))
+                raw = self.prepare_input(obj, "image")
+                # Captured BEFORE np.asarray/[..., 0] (both drop subclass
+                # attributes): the stitched frame's source crops, for the
+                # sparse device-compose upload in flush_group.
+                sources = getattr(raw, "sources", None)
+                fill = getattr(raw, "fill_value", 0)
+                image = np.asarray(raw)
                 if image.ndim == 3:
                     image = image[..., 0]
                 H, W = image.shape
@@ -983,7 +1081,9 @@ class DeviceTiledSegmentation(Node):
                 key = (Hb, Wb)
                 h = self._Holder(key)
                 arrival.append(h)
-                open_groups.setdefault(key, []).append((obj, image, H, W, h))
+                open_groups.setdefault(key, []).append(
+                    (obj, image, H, W, h, sources, fill)
+                )
                 if len(open_groups[key]) >= B:
                     flush_group(key)
                 # Emit while enough groups are in flight AND the arrival

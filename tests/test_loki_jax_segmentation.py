@@ -316,6 +316,76 @@ def test_device_tiled_segmentation_mixed_buckets(model_dir, device_crops):
         assert [r[0] for r in results] == [f.shape for f in frames]
 
 
+def test_device_compose_matches_dense_upload(model_dir, monkeypatch):
+    """Sparse device-side frame composition (StitchedImage.sources ride up
+    row-packed and paste on device) must reproduce the dense group-buffer
+    upload bit-for-bit — including OVERLAPPING crops, where Stitch's
+    last-write-wins paste order decides pixel ownership."""
+    from maze_image_processing_pipeline_tpu.engine import Call, Pipeline, Unpack
+    from maze_image_processing_pipeline_tpu.engine.stitch import StitchedImage
+    from maze_image_processing_pipeline_tpu.loki.config_schema import (
+        JaxSegmentationConfig,
+        SegmentationPostprocessingConfig,
+    )
+    from maze_image_processing_pipeline_tpu.loki.pipeline import (
+        DeviceTiledSegmentation,
+    )
+    from maze_image_processing_pipeline_tpu.models import load_model
+
+    rng = np.random.default_rng(11)
+
+    def make_frame(seed):
+        r = np.random.default_rng(seed)
+        crops = []
+        # Two overlapping crops (second must win in the overlap) + one
+        # bright separate blob.
+        a = (r.random((60, 70)) * 40).astype(np.uint8)
+        a[10:40, 10:50] = 190
+        b = (r.random((50, 60)) * 40).astype(np.uint8)
+        b[5:30, 5:45] = 220
+        c = np.zeros((40, 40), np.uint8)
+        c[5:35, 5:35] = 210
+        crops = [(a, 20, 30), (b, 50, 60), (c, 120, 150)]  # b overlaps a
+        canvas = np.zeros((200, 260), np.uint8)
+        for img, oy, ox in crops:
+            canvas[oy : oy + img.shape[0], ox : ox + img.shape[1]] = img
+        st = canvas.view(StitchedImage)
+        st.n_regions = len(crops)
+        st.sources = crops
+        st.fill_value = 0
+        return st
+
+    frames = [make_frame(s) for s in range(3)]
+    cfg = JaxSegmentationConfig(
+        model_fn=model_dir, dtype="float32", tile_size=128, tile_stride=96,
+        frame_batch=2, device_crops=False,
+    )
+    post = SegmentationPostprocessingConfig(min_area=20)
+    model = load_model(model_dir, dtype="float32")
+
+    def run(compose):
+        monkeypatch.setenv("MAZE_DEVICE_COMPOSE", "1" if compose else "0")
+        out = []
+        with Pipeline() as p:
+            img = Unpack(frames)
+            labels, props, n, _ = DeviceTiledSegmentation(img, model, cfg, post)
+            Call(
+                lambda lab, pr, nn: out.append((np.asarray(lab), pr, int(nn))),
+                labels, props, n,
+            )
+        p.run()
+        return out
+
+    dense = run(False)
+    sparse = run(True)
+    assert len(dense) == len(sparse) == len(frames)
+    for (ld, pd, nd), (ls, ps, ns) in zip(dense, sparse):
+        assert nd == ns
+        np.testing.assert_array_equal(ld, ls)
+        for k in pd:
+            np.testing.assert_array_equal(pd[k], ps[k], err_msg=str(k))
+
+
 def test_two_frame_chains_with_different_prop_configs():
     """Two frame chains in one process unpack independently: the packed
     prop-key order is owned per chain (it used to be a process-global
