@@ -14,6 +14,9 @@ BASELINE.md, round-2/3 model-path findings):
 * ``pallas_hist``    — MXU histogram: fails to compile on the remote
   tunnel helper (HTTP 500) and its background-skip variant is
   inapplicable at haul density.
+* ``pallas_label``   — vertical CCL propagation: ≈210 vs ≈118 ms/batch
+  composed — the row-dependency chain is latency-bound and Mosaic's
+  per-row op overhead exceeds XLA's fused strip walk.
 
 They stay here (a) as pinned parity tests so the knowledge remains
 executable (`tests/test_attic_kernels.py`), and (b) so a future platform

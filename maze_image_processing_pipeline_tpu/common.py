@@ -92,7 +92,8 @@ def recursive_update(left: Mapping, right: Mapping) -> Dict:
     """
     if not isinstance(left, Mapping) or not isinstance(right, Mapping):
         raise ValueError(
-            f"left and right must be Mappings, got {type(left)} / {type(right)}"
+            "recursive_update expects two Mappings, got "
+            f"{type(left).__name__} / {type(right).__name__}"
         )
 
     merged: Dict = dict(left)

@@ -530,7 +530,12 @@ class Runner(PipelineRunner):
                 mesh=mesh,
             )
 
-            StreamBuffer(8)
+            # Must hold a whole frame group's object burst (frame_batch
+            # frames × ~20 regions arrive per stats fetch): an 8-slot
+            # queue starved the consumer thread (dedup, PNG encode, zip
+            # write) during the producer's GIL-free device waits — see
+            # the predict pipeline's buffer note / tools/probe_gil_fetch.
+            StreamBuffer(192)
 
             postprocess_config = pipeline_config.postprocess
 

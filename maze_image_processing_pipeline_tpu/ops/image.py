@@ -35,7 +35,10 @@ def convert_img_dtype(image: jnp.ndarray, dtype) -> jnp.ndarray:
         return image.astype(dtype) * jnp.asarray(factor, dtype)
     if image.dtype.kind == "f":
         return image.astype(dtype)
-    raise ValueError(f"Can not convert {image.dtype} to {dtype}.")
+    raise ValueError(
+        f"Unsupported image dtype {image.dtype} (target {dtype}): expected "
+        "unsigned-integer or floating input"
+    )
 
 
 def gray2rgb(image: jnp.ndarray) -> jnp.ndarray:

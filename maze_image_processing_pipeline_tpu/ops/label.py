@@ -179,9 +179,9 @@ def label(
     batch_shape = fg_in.shape[:-2]
     fg = fg_in.reshape((-1, H, W))
 
-    # Vertical propagation: the XLA strip walk. (A Pallas variant exists in
-    # .pallas_label but measured slower — the row-dependency chain is
-    # latency-bound and Mosaic's per-row op overhead exceeds XLA's.)
+    # Vertical propagation: the XLA strip walk. (A Pallas variant was
+    # measured slower — the row-dependency chain is latency-bound and
+    # Mosaic's per-row op overhead exceeds XLA's; attic/pallas_label.py.)
     def vpass(lab_, reverse):
         return _vertical_pass(lab_, fg, connectivity, reverse=reverse)
 

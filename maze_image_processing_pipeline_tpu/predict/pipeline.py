@@ -787,8 +787,14 @@ class Runner(PipelineRunner):
             # Decouple the device stage from the output taps: HDF5
             # shuffle+DEFLATE (libdeflate releases the GIL) and TSV/zip
             # writing run in the consumer thread while the producer waits
-            # on the next chunk's device fetch.
-            StreamBuffer(8)
+            # on the next chunk's device fetch. The capacity must hold a
+            # WHOLE device chunk (tiling.chunk_size objects arrive as one
+            # burst after each fetch): with the old 8-slot queue the
+            # producer handed over at most 8 objects before its next
+            # fetch wait, so the consumer idled through most of the
+            # (GIL-free — tools/probe_gil_fetch.py) transfer wait and the
+            # stage's two largest components ran back to back.
+            StreamBuffer(64)
 
             if config.save_raw_h5:
                 h5_mode_create = config.model.tiling is not False

@@ -165,3 +165,38 @@ def test_pallas_groupnorm_backward_kernel_matches_reference():
         np.testing.assert_allclose(np.asarray(dx), np.asarray(rx), rtol=2e-4, atol=2e-4)
         np.testing.assert_allclose(np.asarray(dscale), np.asarray(rs), rtol=2e-4, atol=2e-4)
         np.testing.assert_allclose(np.asarray(dbias), np.asarray(rb), rtol=2e-4, atol=2e-4)
+
+
+def test_pallas_vertical_pass_matches_xla(rng):
+    """vertical_pass_pallas ≡ the XLA strip-walk vertical CCL pass (both
+    directions, both connectivities; interpret mode on CPU). Retired:
+    ≈210 vs ≈118 ms/batch composed — the row-dependency chain is
+    latency-bound and Mosaic's per-row overhead exceeds XLA's
+    (attic/pallas_label.py docstring)."""
+    from attic.pallas_label import vertical_pass_pallas
+
+    masks = np.stack(
+        [
+            ndi.binary_dilation(rng.random((48, 128)) < 0.06, iterations=2)
+            for _ in range(2)
+        ]
+    )
+    fg = jnp.asarray(masks)
+    W = masks.shape[-1]
+    lin = (
+        jax.lax.broadcasted_iota(jnp.int32, fg.shape, 1) * W
+        + jax.lax.broadcasted_iota(jnp.int32, fg.shape, 2)
+    )
+    lab0 = jnp.where(fg, lin + 1, label_mod._INF)
+    for connectivity in (1, 2):
+        for reverse in (False, True):
+            ref = label_mod._vertical_pass(
+                lab0, fg, connectivity, reverse=reverse
+            )
+            got = vertical_pass_pallas(
+                lab0, fg, connectivity, reverse=reverse, interpret=True
+            )
+            np.testing.assert_array_equal(
+                np.asarray(got), np.asarray(ref),
+                err_msg=f"conn={connectivity} reverse={reverse}",
+            )
