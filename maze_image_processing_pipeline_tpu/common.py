@@ -59,6 +59,23 @@ def round_ladder(m: int) -> int:
         c *= 2
 
 
+def round_ladder_fine(m: int) -> int:
+    """Smallest value >= m from the {1, 1.25, 1.5, 1.75}*2^k ladder.
+
+    Quarter-octave rungs (<=25% pad) for sizes where the coarse ladder's
+    up-to-50% pad would eat a packing win — the byte-packed canvas fetch
+    sizes its flat transfer buffer with this (models/inference.py)."""
+    c = 4
+    if m <= c:
+        return max(1, m)
+    while True:
+        for num in (4, 5, 6, 7):
+            r = c * num // 4
+            if m <= r:
+                return r
+        c *= 2
+
+
 def convert_img_dtype(image, dtype) -> np.ndarray:
     """Convert an image to a floating dtype, scaling unsigned ints to [0, 1].
 

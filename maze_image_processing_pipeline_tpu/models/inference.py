@@ -25,6 +25,7 @@ from __future__ import annotations
 import collections
 import functools
 import logging
+import os
 from typing import Any, Callable, List, Optional, Sequence, Tuple
 
 import jax
@@ -32,6 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..common import round_ladder as _round_ladder
+from ..common import round_ladder_fine as _round_ladder_fine
 from ..engine.batch import Batch
 from ..engine.core import Node, Output, RawOrVariable, ReturnOutputs, Stream, closing_if_closable
 from .model_io import LoadedModel
@@ -270,6 +272,22 @@ class JaxInference(Node):
                 yield from flush_one()
 
 
+def _fetch_w_rungs(Wb: int, Wq: int):
+    """Static width rungs for the byte-packed canvas fetch.
+
+    Quarter-Wb steps (>=128 — the lane width) clipped to the bucket's
+    fetch window Wq: each object's packed region uses the smallest rung
+    covering its true width, so mixed-width buckets stop paying the
+    bucket-max width for every member. Derived from STATIC bucket shape
+    only — both the program builder and the dispatcher recompute it
+    identically."""
+    step = max(Wb // 8, 32)
+    rungs = sorted(
+        {min(Wq, step * k) for k in range(1, 9) if step * k < Wq + step}
+    )
+    return tuple(r for r in rungs if r <= Wq)
+
+
 def _build_tiled_blend(
     Hb: int,
     Wb: int,
@@ -341,17 +359,74 @@ def _build_tiled_blend(
             out = out[:, :Hq, :Wq]
         return out
 
-    def _finish(out, hs, ws, Bo):
+    wrungs = _fetch_w_rungs(Wb, Wq)
+
+    def _pack_bytes(out, coff, wsel, S_el):
+        # (Bo, Hq, Wq, C) → flat (S_el,): object b's canvas window
+        # (Hq, wrungs[wsel[b]], C) row-major at element offset coff[b].
+        # Offsets are spaced by the TRUE region sizes (h_b * Wr_b * C), so
+        # each write's spill past its object's true height lands in the
+        # NEXT objects' regions and is overwritten by their later writes
+        # (ascending offset order). The caller sizes S_el so EVERY write
+        # end (coff[b] + Hq*Wr_b*C) is in bounds — dynamic_update_slice
+        # CLAMPS out-of-range starts, which would silently shift a write
+        # backwards over real data.
+        Cc = out.shape[-1]
+
+        def write_r(r, b, fo):
+            sl = jax.lax.dynamic_slice(
+                out, (b, 0, 0, 0), (1, Hq, wrungs[r], Cc)
+            ).reshape(-1)
+            return jax.lax.dynamic_update_slice(fo, sl, (coff[b],))
+
+        def body(b, fo):
+            return jax.lax.switch(
+                wsel[b],
+                [functools.partial(write_r, r) for r in range(len(wrungs))],
+                b,
+                fo,
+            )
+
+        flat = jnp.zeros((S_el,), out.dtype)
+        return jax.lax.fori_loop(0, out.shape[0], body, flat)
+
+    def _finish(out, hs, ws, Bo, pack=None, S_el=None):
         # Shared transfer tail: cast-for-transfer or fused measurement.
+        # With ``pack=(coff, wsel, wrungs)`` the canvases leave
+        # BYTE-PACKED — each object's (true height × width-rung) window
+        # row-major in one flat (S_el,) buffer — the device→host fetch is
+        # bandwidth-bound, and dense (Bo, Hq, Wq) windows pad every
+        # object to the BUCKET's max extent (measured 233 MB vs ~32 MB of
+        # true pixels on the dense haul's log-uniform crop spread).
+        from ..ops.segment_measure import cast_for_transfer
+
         if measure is None:
+            if pack is not None:
+                out = _pack_bytes(out, pack[0], pack[1], S_el)
             if transfer_dtype is not None:
-                out = out.astype(transfer_dtype)
+                out = cast_for_transfer(out, transfer_dtype)
             return out.reshape(-1)
-        from ..ops.segment_measure import measure_channels_with_canvas
+        from ..ops.segment_measure import (
+            measure_channels_packed,
+            measure_channels_with_canvas,
+        )
 
         fill_channels, num_segments, n_bg_segments = measure
         Cout = out.shape[-1]
-        return measure_channels_with_canvas(
+        if pack is None:
+            return measure_channels_with_canvas(
+                out.reshape(-1),
+                hs,
+                ws,
+                shape=(Bo, Hq, Wq, Cout),
+                fill_channels=fill_channels,
+                num_segments=num_segments,
+                n_bg_segments=n_bg_segments,
+                out_dtype=transfer_dtype,
+            )
+        # Measure the DENSE f32 canvas (stats must see full precision and
+        # per-object windows), then pack + cast for the transfer.
+        stats = measure_channels_packed(
             out.reshape(-1),
             hs,
             ws,
@@ -359,8 +434,13 @@ def _build_tiled_blend(
             fill_channels=fill_channels,
             num_segments=num_segments,
             n_bg_segments=n_bg_segments,
-            out_dtype=transfer_dtype,
         )
+        flat = _pack_bytes(out, pack[0], pack[1], S_el)
+        if transfer_dtype is not None:
+            flat = cast_for_transfer(flat, transfer_dtype)
+        if flat.dtype != jnp.float32:
+            stats = jax.lax.bitcast_convert_type(stats, flat.dtype).reshape(-1)
+        return jnp.concatenate([flat, stats])
 
     if fused_step is None:
         # Two-program path (mesh / shared model forward): predictions
@@ -434,21 +514,23 @@ def _build_tiled_blend(
 
     if measure is None:
 
-        @functools.partial(jax.jit, static_argnames=("Bo", "Ncap"))
-        def fused(params, rows, tb, ty, tx, toff, hlim, n_jobs, *, Bo, Ncap):
+        @functools.partial(jax.jit, static_argnames=("Bo", "Ncap", "S_el"))
+        def fused(params, rows, tb, ty, tx, toff, hlim, n_jobs, pack=None,
+                  *, Bo, Ncap, S_el=None):
             pred_t = _forward(params, rows, tx, toff, hlim, Ncap)
             out = _blend_canvas(pred_t, tb, ty, tx, n_jobs, Bo)
-            return _finish(out, None, None, Bo)
+            return _finish(out, None, None, Bo, pack, S_el)
 
         return fused
 
-    @functools.partial(jax.jit, static_argnames=("Bo", "Ncap"))
+    @functools.partial(jax.jit, static_argnames=("Bo", "Ncap", "S_el"))
     def fused_measure(
-        params, rows, tb, ty, tx, toff, hlim, n_jobs, hs, ws, *, Bo, Ncap
+        params, rows, tb, ty, tx, toff, hlim, n_jobs, hs, ws, pack=None,
+        *, Bo, Ncap, S_el=None
     ):
         pred_t = _forward(params, rows, tx, toff, hlim, Ncap)
         out = _blend_canvas(pred_t, tb, ty, tx, n_jobs, Bo)
-        return _finish(out, hs, ws, Bo)
+        return _finish(out, hs, ws, Bo, pack, S_el)
 
     return fused_measure
 
@@ -766,6 +848,54 @@ class DeviceTiledInference(Node):
             # Quantize the canvas batch to the ladder too: every distinct
             # (Hb, Wb, Ncap, Bo) combination compiles a blend variant.
             Bo_cap = _round_ladder(Bo)
+            # Byte-packed fetch: each object's canvas leaves the device as
+            # its (true height × width-rung) window, row-major in ONE
+            # flat buffer, instead of Bo dense windows of the bucket-max
+            # extent (Hq, Wq). The fetch is bandwidth-bound, and pow2
+            # buckets mix a whole octave (or more — everything below the
+            # tile size shares one bucket) of crop sizes, so the dense
+            # form pays mean-vs-max padding: measured 233 MB fetched for
+            # ~32 MB of true pixels on the dense haul. Offsets are exact
+            # region sizes (h*Wr*C); S_el covers every write's Hq-window
+            # spill end and the pad objects' tail writes (_pack_bytes).
+            # Engaged only when it saves ≥1/8 of the elements (uniform
+            # hauls land on the same ladder rung — no new variants).
+            pack = None
+            S_el = None
+            if (
+                use_fused
+                and os.environ.get("MAZE_ROWPACK_FETCH", "1") != "0"
+            ):
+                wrungs = _fetch_w_rungs(Wb, Wq)
+                Ct = Cout
+                wsel_l, coff_l, off_el = [], [], 0
+                end_max = 0
+                for i in idxs:
+                    h, w = images[i].shape[:2]
+                    r = next(
+                        k for k, wr in enumerate(wrungs) if w <= wr
+                    )
+                    wsel_l.append(r)
+                    coff_l.append(off_el)
+                    end_max = max(end_max, off_el + Hq * wrungs[r] * Ct)
+                    off_el += h * wrungs[r] * Ct
+                # Pad objects write zero windows of the smallest rung at
+                # the tail; keep them clear of real data. The buffer must
+                # also fit the LARGEST rung's window: lax.switch traces
+                # every branch, and an update wider than the operand is a
+                # trace-time error even on a branch no object selects.
+                end_max = max(end_max, off_el + Hq * wrungs[0] * Ct)
+                end_max = max(end_max, Hq * wrungs[-1] * Ct)
+                S_el_cap = _round_ladder_fine(end_max)
+                if S_el_cap * 8 <= Bo_cap * Hq * Wq * Ct * 7:
+                    S_el = S_el_cap
+                    coff = np.full(
+                        (Bo_cap,), S_el_cap - Hq * wrungs[0] * Ct, np.int32
+                    )
+                    coff[: len(coff_l)] = coff_l
+                    wsel = np.zeros((Bo_cap,), np.int32)
+                    wsel[: len(wsel_l)] = wsel_l
+                    pack = (coff, wsel)
             if with_stats:
                 fill = self.measure_fill_holes
                 measure = (
@@ -787,8 +917,8 @@ class DeviceTiledInference(Node):
                 if use_fused:
                     flat = prog(
                         self._params, rows, tb, ty, tx, toff, hlim,
-                        np.asarray(N, np.int32), hs, ws,
-                        Bo=Bo_cap, Ncap=Ncap,
+                        np.asarray(N, np.int32), hs, ws, pack,
+                        Bo=Bo_cap, Ncap=Ncap, S_el=S_el,
                     )
                 else:
                     flat = prog(
@@ -802,7 +932,8 @@ class DeviceTiledInference(Node):
                 if use_fused:
                     flat = prog(
                         self._params, rows, tb, ty, tx, toff, hlim,
-                        np.asarray(N, np.int32), Bo=Bo_cap, Ncap=Ncap,
+                        np.asarray(N, np.int32), pack,
+                        Bo=Bo_cap, Ncap=Ncap, S_el=S_el,
                     )
                 else:
                     flat = prog(
@@ -810,7 +941,8 @@ class DeviceTiledInference(Node):
                         Bo=Bo_cap,
                     )
             parts.append(flat)
-            layout.append((key, idxs, Bo_cap, Cout, with_stats))
+            layout.append((key, idxs, Bo_cap, Cout, with_stats, S_el,
+                           pack, _fetch_w_rungs(Wb, Wq) if pack else None))
 
         # One fetch per bucket: an eager concatenate would add a distinct
         # device program per bucket-shape combination, each paying the
@@ -826,11 +958,13 @@ class DeviceTiledInference(Node):
 
         results = [None] * len(images)
         stats_out = [None] * len(images)
-        for part, (key, idxs, Bo, Cout, with_stats) in zip(parts, layout):
+        for part, (
+            key, idxs, Bo, Cout, with_stats, S_el, pack, wrungs
+        ) in zip(parts, layout):
             Hq, Wq = key[2:4]
             if with_stats:
                 block, small, extremes = split_canvas_stats(
-                    part, Bo, Hq, Wq, Cout
+                    part, Bo, Hq, Wq, Cout, elems=S_el
                 )
                 for bi, i in enumerate(idxs):
                     stats_out[i] = {
@@ -840,6 +974,8 @@ class DeviceTiledInference(Node):
                         "overflow": small[:, 3, bi] > 0,
                         "extremes": extremes[:, bi],
                     }
+            elif S_el is not None:
+                block = np.asarray(part)[:S_el]
             else:
                 block = np.asarray(part).reshape(Bo, Hq, Wq, Cout)
             for bi, i in enumerate(idxs):
@@ -849,7 +985,19 @@ class DeviceTiledInference(Node):
                 # object (round-4 profile). Consumers threshold/compare,
                 # which is dtype-agnostic; the one contiguous copy detaches
                 # the object from the bucket block.
-                results[i] = np.ascontiguousarray(block[bi, :h, :w])
+                if S_el is not None:
+                    # Byte-packed: object bi's (h, Wr, Cout) region at
+                    # element offset coff[bi], cropped to its true width.
+                    coff, wsel = pack
+                    Wr = wrungs[wsel[bi]]
+                    o = coff[bi]
+                    results[i] = np.ascontiguousarray(
+                        block[o : o + h * Wr * Cout].reshape(h, Wr, Cout)[
+                            :, :w
+                        ]
+                    )
+                else:
+                    results[i] = np.ascontiguousarray(block[bi, :h, :w])
         return results, stats_out
 
     # NOTE (round-4 negative result, measured twice on the 24-frame
@@ -858,12 +1006,15 @@ class DeviceTiledInference(Node):
     # archive work made the steady semseg stage SLOWER, not faster —
     # 3.7 s with dispatch+fetch on the worker, 3.4 s with dispatch on the
     # main thread and only np.asarray on the worker, vs 3.0 s fully
-    # synchronous. Through this host's tunnel the PJRT client serializes
-    # transfers and holds the GIL for the copy-out, so the "overlap" only
-    # added thread hand-off latency. Keep fetches synchronous at
+    # synchronous. The PJRT client serializes transfers, so a dedicated
+    # fetch thread only added hand-off latency. (Round-5 probe,
+    # tools/probe_gil_fetch.py: the copy-out itself does NOT hold the
+    # GIL — so the right overlap is downstream consumer threads working
+    # through this producer's fetch wait, which the chunk-sized
+    # StreamBuffer after this node provides.) Keep fetches synchronous at
     # emit() time; async pipelining is provided by `in_flight` chunks of
     # DISPATCHED (not yet fetched) work, which does let the device start
-    # chunk k+1 while chunk k drains. Details: BASELINE.md round-4.
+    # chunk k+1 while chunk k drains. Details: BASELINE.md round-4/5.
     def transform_stream(self, stream: Stream) -> Stream:
         pending = collections.deque()
         chunk_objs: List = []

@@ -278,18 +278,45 @@ def measure_channels_with_canvas(
         n_bg_segments=n_bg_segments,
     )
     if out_dtype is not None:
-        flat = flat.astype(out_dtype)
+        flat = cast_for_transfer(flat, out_dtype)
     if flat.dtype != jnp.float32:
         stats = jax.lax.bitcast_convert_type(stats, flat.dtype).reshape(-1)
     return jnp.concatenate([flat, stats])
 
 
-def split_canvas_stats(buf: np.ndarray, Bo: int, Hb: int, Wb: int, C: int):
+def cast_for_transfer(x: jnp.ndarray, dtype) -> jnp.ndarray:
+    """Cast a probability canvas for the device→host transfer.
+
+    ``uint8`` quantizes to 1/255 resolution (the opt-in ``raw_h5_dtype:
+    uint8`` storage rung), rounding half DOWN so the stored-value
+    threshold ``>= 128`` keeps the reference's STRICT ``p > 0.5``
+    semantics at the exact boundary (zero logits — e.g. tile padding —
+    produce exact 0.5 probabilities, which must stay background); any
+    other dtype is a plain cast."""
+    if jnp.dtype(dtype) == jnp.uint8:
+        return jnp.clip(jnp.ceil(x * 255.0 - 0.5), 0.0, 255.0).astype(
+            jnp.uint8
+        )
+    return x.astype(dtype)
+
+
+def split_canvas_stats(
+    buf: np.ndarray, Bo: int, Hb: int, Wb: int, C: int, elems=None
+):
     """Decode :func:`measure_channels_with_canvas`'s buffer →
-    (canvas (Bo, Hb, Wb, C), small (C, 4, Bo), extremes (C, Bo, Hb, 3))."""
+    (canvas (Bo, Hb, Wb, C), small (C, 4, Bo), extremes (C, Bo, Hb, 3)).
+
+    ``elems``: the canvas part is BYTE-PACKED — a flat (``elems``,)
+    buffer of per-object (true-height × width-rung) regions
+    (DeviceTiledInference's packed fetch) returned as-is for the caller
+    to slice, instead of Bo dense windows."""
     buf = np.asarray(buf)
-    n_canvas = Bo * Hb * Wb * C
-    canvas = buf[:n_canvas].reshape(Bo, Hb, Wb, C)
+    if elems is not None:
+        n_canvas = elems
+        canvas = buf[:n_canvas]
+    else:
+        n_canvas = Bo * Hb * Wb * C
+        canvas = buf[:n_canvas].reshape(Bo, Hb, Wb, C)
     stats = buf[n_canvas:]
     if stats.dtype != np.float32:
         stats = np.ascontiguousarray(stats).view(np.float32)

@@ -200,13 +200,18 @@ class PredictionPipelineConfig(BaseModel):
         False,
         description="Save raw predictions into an HDF5 file, e.g. for feature extraction.",
     )
-    raw_h5_dtype: Literal["float32", "float16"] = Field(
+    raw_h5_dtype: Literal["float32", "float16", "uint8"] = Field(
         "float16",
         description="Storage dtype for save_raw_h5. The float16 default "
         "halves the device fetch, the DEFLATE payload, and the file "
         "(prediction probabilities lose <1e-3 absolute precision); the "
         "chosen dtype is recorded as the `raw_dtype` root attribute of "
-        "the HDF5 file. Set float32 to store the model output verbatim.",
+        "the HDF5 file. Set float32 to store the model output verbatim. "
+        "uint8 (tiled models only) quantizes probabilities to 1/255 "
+        "resolution on the device — stored value = round(p * 255), half "
+        "rounded down so stored >= 128 means strictly p > 0.5 — for "
+        "another 2x off the fetch and the file; for non-tiled feature "
+        "export it falls back to float16 with a warning.",
     )
     segmentation: SegmentationConfig | Literal[False] = Field(
         False,

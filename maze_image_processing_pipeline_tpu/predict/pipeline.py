@@ -141,6 +141,12 @@ class BatchedSegmentMeasure(Node):
         probs = [
             np.asarray(self.prepare_input(obj, "predictions")) for obj in objs
         ]
+        # raw_h5_dtype: uint8 rung — restore probabilities (value/255) so
+        # the 0.5 thresholds below keep their meaning.
+        probs = [
+            p.astype(np.float32) / 255.0 if p.dtype == np.uint8 else p
+            for p in probs
+        ]
         metas = [
             {
                 k: v
@@ -237,7 +243,13 @@ def measure_segments(
         if k.split("_", maxsplit=1)[0] in VALID_PREFIXES
     }
 
-    predictions = (np.asarray(probabilities) > 0.5).astype(bool)
+    probabilities = np.asarray(probabilities)
+    if probabilities.dtype == np.uint8:
+        # raw_h5_dtype: uint8 rung — stored value = round(p * 255), so the
+        # 0.5 probability threshold is 128 (127.5 rounds up).
+        predictions = probabilities >= 128
+    else:
+        predictions = probabilities > 0.5
     assert predictions.ndim == 3, predictions.shape
     assert predictions.shape[-1] == len(channel_names), (
         predictions.shape,
@@ -691,9 +703,26 @@ class Runner(PipelineRunner):
             # default raw_h5_dtype float32; float16 storage keeps the
             # halved fetch too.
             raw_f16 = config.raw_h5_dtype == "float16"
-            transfer_dtype = (
-                None if config.save_raw_h5 and not raw_f16 else np.float16
-            )
+            raw_u8 = config.raw_h5_dtype == "uint8"
+            if raw_u8 and (
+                config.model.tiling is False
+                or not config.model.tiling.device_blend
+            ):
+                logger.warning(
+                    "raw_h5_dtype: uint8 only applies to device-blended "
+                    "tiled prediction maps (the device quantizes after "
+                    "blending); falling back to float16."
+                )
+                raw_u8, raw_f16 = False, True
+            if raw_u8:
+                # Opt-in quantized rung: probabilities ride the (link-
+                # bound) device→host fetch and the DEFLATE payload at
+                # 1/255 resolution, 2x smaller than float16.
+                transfer_dtype = np.uint8
+            else:
+                transfer_dtype = (
+                    None if config.save_raw_h5 and not raw_f16 else np.float16
+                )
 
             tiling = config.model.tiling
             seg_stats = None
@@ -818,8 +847,15 @@ class Runner(PipelineRunner):
                     # on a 1-core host (round-3 profile).
                     compression="gzip",
                     compression_opts=1,
-                    # Provenance for the float16 storage default.
-                    file_attrs={"raw_dtype": config.raw_h5_dtype},
+                    # Provenance for the storage dtype (the EFFECTIVE one:
+                    # uint8 downgrades to float16 for feature export).
+                    file_attrs={
+                        "raw_dtype": (
+                            "uint8" if raw_u8
+                            else ("float16" if raw_f16 else "float32")
+                        ),
+                        **({"raw_scale": 1.0 / 255.0} if raw_u8 else {}),
+                    },
                 )
 
             if config.segmentation:

@@ -42,7 +42,7 @@ def make_loki_sample(
     root: str,
     name: str = "LOKI_00001.01",
     n_frames: int = 4,
-    objects_per_frame: int = 3,
+    objects_per_frame: "int | Tuple[int, int]" = 3,
     frame_shape: Tuple[int, int] = (400, 500),
     seed: int = 0,
     station: str = "PS122-1",
@@ -57,7 +57,12 @@ def make_loki_sample(
     ``crop_size_range``: ((h_min, w_min), (h_max, w_max)) — per-object
     vignette sizes drawn log-uniformly from the range instead of the
     fixed (60, 80). Used by the dense/large-frame haul profile to stress
-    the pow2 shape buckets and batch rungs with a wide size distribution."""
+    the pow2 shape buckets and batch rungs with a wide size distribution.
+
+    ``objects_per_frame``: an int, or an inclusive ``(lo, hi)`` range drawn
+    uniformly per frame (``lo`` may be 0 — frames whose draw is 0 simply
+    contribute no vignettes, like real field hauls where most camera
+    triggers see nothing). Used by the sparse haul profile."""
     rng = np.random.default_rng(seed)
     sample = os.path.join(root, name)
     os.makedirs(os.path.join(sample, "Log"), exist_ok=True)
@@ -118,7 +123,12 @@ def make_loki_sample(
     H, W = frame_shape
     for fi in range(n_frames):
         t = times[fi]
-        for oi in range(objects_per_frame):
+        if isinstance(objects_per_frame, tuple):
+            lo, hi = objects_per_frame
+            n_objects = int(rng.integers(lo, hi + 1))
+        else:
+            n_objects = objects_per_frame
+        for oi in range(n_objects):
             if crop_size_range is not None:
                 (h0, w0), (h1, w1) = crop_size_range
                 ch = int(np.exp(rng.uniform(np.log(h0), np.log(h1))))

@@ -256,6 +256,80 @@ class TestPredictEndToEnd:
         ]:
             assert col in df.columns
 
+    def test_semseg_h5_uint8(self, tmp_path, rng):
+        """raw_h5_dtype: uint8 quantizes maps to round(p*255) on the device
+        (opt-in 1/255-resolution rung); segment measurements keep their
+        0.5-threshold semantics and match the float32 run exactly (the
+        fused measurement thresholds BEFORE the transfer cast)."""
+        archive_fn, crops = make_input_archive(tmp_path, rng, n=3, size=64)
+
+        model_dir = str(tmp_path / "unet")
+        module = UNet(out_channels=2, base_features=4, depth=1, dtype=jnp.float32)
+        params = module.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
+        # Saturate the output head (x20 logits): random-init nets emit
+        # probabilities hovering AT the 0.5 threshold, where the 1/255
+        # quantization legitimately flips borderline pixels in the
+        # overflow host-fallback remeasurement; trained models saturate.
+        params = jax.tree_util.tree_map_with_path(
+            lambda path, p: p * 20.0
+            if any(getattr(k, "key", None) == "Conv_1" for k in path)
+            else p,
+            params,
+        )
+        save_model(
+            model_dir,
+            module,
+            params,
+            outputs={"pred": {"channel_names": ["prosoma", "oilsack"]}},
+        )
+
+        outs, dfs = {}, {}
+        for dtype in ("float32", "uint8"):
+            target_dir = str(tmp_path / f"out_{dtype}")
+            Runner._configure_and_run(
+                {
+                    "input": {"path": archive_fn},
+                    "model": {
+                        "model_fn": model_dir,
+                        "dtype": "float32",
+                        "batch_size": 2,
+                        "tiling": {"size": 64, "stride": 48},
+                    },
+                    "save_raw_h5": True,
+                    "raw_h5_dtype": dtype,
+                    "segmentation": {"draw": False, "fill_holes": True,
+                                     "device": True},
+                    "target_dir": target_dir,
+                }
+            )
+            with h5py.File(os.path.join(target_dir, "crops.h5")) as h5:
+                outs[dtype] = {k: h5[k][...] for k in h5.keys()}
+                assert h5.attrs["raw_dtype"] == dtype
+                if dtype == "uint8":
+                    assert h5.attrs["raw_scale"] == pytest.approx(1 / 255)
+            seg_fn = os.path.join(target_dir, "crops.segmentation.zip")
+            dfs[dtype] = read_tsv(Archive(seg_fn) / "ecotaxa_export.tsv")
+
+        assert all(v.dtype == np.uint8 for v in outs["uint8"].values())
+        for k in outs["float32"]:
+            np.testing.assert_allclose(
+                outs["uint8"][k].astype(np.float32) / 255.0,
+                outs["float32"][k],
+                atol=0.5 / 255 + 1e-6,
+            )
+        # Measurements ran on the f32 canvas before quantization: exact
+        # parity with the float32 run.
+        for col in dfs["float32"].columns:
+            if col in ("process_datetime", "process_id"):
+                continue
+            a, b = dfs["float32"][col], dfs["uint8"][col]
+            if a.dtype.kind == "f":
+                np.testing.assert_allclose(
+                    a.to_numpy(), b.to_numpy(), rtol=1e-6, err_msg=col
+                )
+            else:
+                assert a.tolist() == b.tolist(), col
+
     def test_semseg_h5_float16(self, tmp_path, rng):
         """raw_h5_dtype: float16 stores half-precision maps (and keeps the
         halved device fetch); values match float32 within f16 resolution."""
@@ -583,6 +657,74 @@ def test_device_tiled_inference_narrow_bucket_and_row_packing(tmp_path, rng):
     for a, b, c in zip(dev, host, crops):
         assert a.shape == c.shape + (2,)
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_device_tiled_inference_rowpacked_fetch_parity(tmp_path, rng, monkeypatch):
+    """The row-packed FETCH (canvases leave the device stacked at their
+    true heights when that saves >=1/8 of the rows — the dense-haul
+    mean-vs-max padding fix) must return byte-identical predictions and
+    stats vs the dense-window fetch. 16 mixed-height crops share one
+    (256, 256) bucket so sum(h) < Bo*Hq engages the packing."""
+    from maze_image_processing_pipeline_tpu.models import (
+        DeviceTiledInference,
+        load_model,
+        save_model,
+    )
+
+    crops = [draw_blob(rng, shape=(250, 150), r=20)] + [
+        draw_blob(rng, shape=(140 + 2 * i, 140 + 5 * i), r=12)
+        for i in range(15)
+    ]
+
+    model_dir = str(tmp_path / "unet_rp")
+    module = UNet(out_channels=2, base_features=4, depth=1, dtype=jnp.float32)
+    params = module.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
+    save_model(
+        model_dir, module, params,
+        outputs={"pred": {"channel_names": ["a", "b"]}},
+    )
+    model = load_model(model_dir, dtype="float32")
+
+    from maze_image_processing_pipeline_tpu.ops import segment_measure as sm
+
+    seen_rows = []
+    orig_scs = sm.split_canvas_stats
+
+    def spy_scs(buf, *a, elems=None, **k):
+        seen_rows.append(elems)
+        return orig_scs(buf, *a, elems=elems, **k)
+
+    monkeypatch.setattr(sm, "split_canvas_stats", spy_scs)
+
+    def run(rowpack):
+        monkeypatch.setenv("MAZE_ROWPACK_FETCH", "1" if rowpack else "0")
+        preds, stats = [], []
+        with Pipeline() as pl:
+            img = Unpack(crops)
+            pred, st = DeviceTiledInference(
+                model, img, tile_size=64, tile_stride=48, batch_size=4,
+                chunk_size=16, measure_channels=["a", "b"],
+            )
+            Call(lambda p, s: (preds.append(np.asarray(p)), stats.append(s)),
+                 pred, st)
+        pl.run()
+        return preds, stats
+
+    p1, s1 = run(True)
+    assert any(r is not None for r in seen_rows), (
+        "row-packed fetch never engaged — crop mix no longer clears the "
+        ">=1/8 row-savings gate"
+    )
+    seen_rows.clear()
+    p0, s0 = run(False)
+    assert all(r is None for r in seen_rows)
+    assert len(p1) == len(p0) == len(crops)
+    for a, b, c in zip(p1, p0, crops):
+        assert a.shape == b.shape == c.shape + (2,)
+        np.testing.assert_array_equal(a, b)
+    for a, b in zip(s1, s0):
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k], err_msg=k)
 
 
 def test_batched_segment_measure_overflow_falls_back_to_host(rng):

@@ -41,13 +41,18 @@ def parse_args():
     ap.add_argument("--objects-per-frame", type=int, default=None)
     ap.add_argument(
         "--haul",
-        choices=("standard", "dense"),
+        choices=("standard", "dense", "sparse"),
         default="standard",
         help="haul profile: 'standard' = the 24-frame 1024x1280 fixture "
         "every round-3 number was tuned on; 'dense' = 12 frames at "
         "2048x2560 with 3x object density and a log-uniform crop-size "
         "spread (30..380 x 40..480) stressing the pow2 buckets, batch "
-        "rungs, and overflow bounds (round-3 verdict item 4).",
+        "rungs, and overflow bounds (round-3 verdict item 4); 'sparse' = "
+        "96 mostly-empty 1024x1280 frames with 0-3 tiny (16..64 px) "
+        "objects each — the stitch-heavy/skip-empty regime where fixed "
+        "per-dispatch and per-frame costs, not bandwidth, dominate "
+        "(round-4 verdict item 8; the reference tolerates arbitrary "
+        "field density, /root/reference/maze_ipp/loki/pipeline.py:777-953).",
     )
     ap.add_argument("--platform", default=None, help="cpu to force CPU backend")
     ap.add_argument("--model-dir", default="/tmp/bench_e2e_models")
@@ -167,21 +172,29 @@ def main() -> None:
     t_models = time.perf_counter() - t0
 
     dense = args.haul == "dense"
+    sparse = args.haul == "sparse"
     if args.frames is None:
-        args.frames = 12 if dense else 24
-    if args.objects_per_frame is None:
-        args.objects_per_frame = 60 if dense else 20
+        args.frames = 12 if dense else (96 if sparse else 24)
+    objects_per_frame = args.objects_per_frame
+    if objects_per_frame is None:
+        objects_per_frame = 60 if dense else (20 if not sparse else None)
 
-    work = pathlib.Path(args.workdir + ("_dense" if dense else ""))
+    work = pathlib.Path(
+        args.workdir + ("" if args.haul == "standard" else f"_{args.haul}")
+    )
     if work.exists():
         shutil.rmtree(work)
     work.mkdir(parents=True)
     make_loki_sample(
         str(work / "data"),
         n_frames=args.frames,
-        objects_per_frame=args.objects_per_frame,
+        # sparse: 0-3 tiny objects per frame (mostly-empty field haul).
+        objects_per_frame=(0, 3) if objects_per_frame is None else objects_per_frame,
         frame_shape=(2048, 2560) if dense else (1024, 1280),
-        crop_size_range=((30, 40), (380, 480)) if dense else None,
+        crop_size_range=(
+            ((30, 40), (380, 480)) if dense
+            else (((16, 20), (48, 64)) if sparse else None)
+        ),
     )
     tax_fn, csv_fn = make_taxonomy_files(work)
 

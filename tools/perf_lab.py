@@ -76,6 +76,13 @@ def main() -> None:
         return not which or name in which
 
     frames = make_frames(BATCH)
+    # PERF_SHAPE=2048x2560 probes the dense-haul frame extent (the loki
+    # stats_fetch wait scales with the device chain at this shape).
+    shape_env = os.environ.get("PERF_SHAPE")
+    if shape_env:
+        H, W = map(int, shape_env.lower().split("x"))
+        big = make_frames(BATCH, size=max(H, W))
+        frames = np.ascontiguousarray(big[:, :H, :W])
     x = jax.device_put(frames)
     print(f"backend={jax.default_backend()} batch={frames.shape}", flush=True)
 

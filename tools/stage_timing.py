@@ -60,6 +60,7 @@ def install():
         buf = np.asarray(buf)
         TIMES["fetch"] += time.perf_counter() - t0
         COUNTS["fetch"] += 1
+        TIMES["fetch_MB"] += buf.nbytes / 1e6
         return orig_scs(buf, *a, **k)
 
     sm.split_canvas_stats = timed_scs
@@ -88,6 +89,14 @@ def install():
     # resolves decode_image via the imageio module at call time.
     _wrap(eco, "encode_image", "encode_img")
     _wrap(iio, "decode_image", "decode_img")
+
+    # Remaining loki residual: dedup matching + zip member writes.
+    from maze_image_processing_pipeline_tpu.dataio import archive as arc
+    from maze_image_processing_pipeline_tpu.loki import zoomie
+
+    _wrap(zoomie._SimpleMatcher, "match_and_update", "dedup_match")
+    _wrap(zoomie._FeatureMatcher, "match_and_update", "dedup_match")
+    _wrap(arc.ArchivePath, "write_bytes", "zip_write")
 
 
 def report(stage: str):
